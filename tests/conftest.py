@@ -1,0 +1,52 @@
+"""Test configuration.
+
+Tests run on CPU (8 virtual devices for sharding tests) regardless of the
+environment's default TPU backend: the env vars below must be set before JAX
+initializes its backends, and the config update covers the case where the
+axon sitecustomize already forced its platform list.
+"""
+
+from __future__ import annotations
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+import jaxsim_tpu  # noqa: E402  (after backend forcing)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu: tests that require a real TPU")
+
+
+@pytest.fixture(scope="session")
+def prng_seed() -> int:
+    return int(os.environ.get("JAXSIM_TEST_SEED", 42))
+
+
+@pytest.fixture
+def prng_key(prng_seed):
+    return jax.random.PRNGKey(prng_seed)
+
+
+@pytest.fixture(scope="session")
+def velocity_representations():
+    from jaxsim_tpu.api.common import VelRepr
+
+    return [VelRepr.Inertial, VelRepr.Body, VelRepr.Mixed]
+
+
+def assert_allclose(a, b, rtol=2e-5, atol=1e-6, err_msg=""):
+    """Comparison helper normalizing signed zeros (reference
+    ``tests/utils.py:14-26``) with float32-appropriate default tolerances."""
+    a = np.asarray(a) + 0.0
+    b = np.asarray(b) + 0.0
+    np.testing.assert_allclose(a, b, rtol=rtol, atol=atol, err_msg=err_msg)

@@ -1,0 +1,127 @@
+"""Recursive Newton-Euler: O(n) floating-base inverse dynamics.
+
+Role of reference ``src/jaxsim/rbda/rnea.py:12-238``: forward sweep of
+velocities/accelerations/forces, backward force accumulation. Returns the
+base wrench (world frame) and joint torques.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+import jaxsim_tpu.typing as jtp
+from jaxsim_tpu.math import Adjoint, Cross
+
+from .common import gravity_sixd, mtv, mv
+
+
+def rnea(
+    kdp,
+    *,
+    base_transform: jtp.MatrixLike,
+    joint_positions: jtp.VectorLike,
+    base_velocity_inertial: jtp.VectorLike,
+    joint_velocities: jtp.VectorLike,
+    base_acceleration_inertial: jtp.VectorLike | None = None,
+    joint_accelerations: jtp.VectorLike | None = None,
+    link_forces_inertial: jtp.MatrixLike | None = None,
+    gravity: jtp.VectorLike = (0.0, 0.0, -9.81),
+    floating_base: bool = True,
+) -> tuple[jtp.Vector, jtp.Vector]:
+    """Inverse dynamics: generalized forces producing the given accelerations.
+
+    Returns ``(W_f_B (6,), τ (n,))``.
+    """
+    n_links = kdp.number_of_links()
+    n_joints = kdp.number_of_joints()
+
+    s = jnp.asarray(joint_positions, dtype=float)
+    sd = jnp.asarray(joint_velocities, dtype=float)
+    sdd = (
+        jnp.asarray(joint_accelerations, dtype=float)
+        if joint_accelerations is not None
+        else jnp.zeros(n_joints)
+    )
+    W_f = (
+        jnp.asarray(link_forces_inertial, dtype=float)
+        if link_forces_inertial is not None
+        else jnp.zeros((n_links, 6))
+    )
+    W_H_B = jnp.asarray(base_transform, dtype=float)
+    W_v_WB = jnp.asarray(base_velocity_inertial, dtype=float)
+    W_vd_WB = (
+        jnp.asarray(base_acceleration_inertial, dtype=float)
+        if base_acceleration_inertial is not None
+        else jnp.zeros(6)
+    )
+    W_g = gravity_sixd(gravity)
+
+    lam = kdp.parent_array
+    S = kdp.motion_subspaces
+    M = kdp.link_parameters.spatial_inertia()
+
+    W_X_B = Adjoint.from_transform(W_H_B)
+    B_X_W = Adjoint.from_transform(W_H_B, inverse=True)
+    i_X_li = kdp.joint_transforms(joint_positions=s, base_transform=W_H_B)
+
+    v = jnp.zeros((n_links, 6))
+    a = jnp.zeros((n_links, 6)).at[0].set(-mv(B_X_W, W_g))
+    f = jnp.zeros((n_links, 6))
+    i_X_0 = jnp.zeros((n_links, 6, 6)).at[0].set(jnp.eye(6))
+
+    if floating_base:
+        v_0 = mv(B_X_W, W_v_WB)
+        v = v.at[0].set(v_0)
+        a_0 = mv(B_X_W, W_vd_WB - W_g)
+        a = a.at[0].set(a_0)
+        f_0 = (
+            mv(M[0], a_0)
+            + mv(Cross.vx_star(v_0) @ M[0], v_0)
+            - mtv(W_X_B, W_f[0])
+        )
+        f = f.at[0].set(f_0)
+
+    def forward(carry, i):
+        v, a, i_X_0, f = carry
+        vJ = S[i] * sd[i - 1]
+        v_i = mv(i_X_li[i], v[lam[i]]) + vJ
+        v = v.at[i].set(v_i)
+        a_i = mv(i_X_li[i], a[lam[i]]) + S[i] * sdd[i - 1] + mv(Cross.vx(v_i), vJ)
+        a = a.at[i].set(a_i)
+        i_X_0i = i_X_li[i] @ i_X_0[lam[i]]
+        i_X_0 = i_X_0.at[i].set(i_X_0i)
+        i_Xf_W = Adjoint.inverse(i_X_0i @ B_X_W).T
+        f_i = (
+            mv(M[i], a_i)
+            + mv(Cross.vx_star(v_i) @ M[i], v_i)
+            - mv(i_Xf_W, W_f[i])
+        )
+        f = f.at[i].set(f_i)
+        return (v, a, i_X_0, f), None
+
+    if n_links > 1:
+        (v, a, i_X_0, f), _ = jax.lax.scan(
+            forward, (v, a, i_X_0, f), jnp.arange(1, n_links)
+        )
+
+    tau = jnp.zeros(n_joints)
+
+    def backward(carry, i):
+        tau, f = carry
+        tau = tau.at[i - 1].set(jnp.dot(S[i], f[i]))
+
+        def update(f):
+            return f.at[lam[i]].set(f[lam[i]] + mtv(i_X_li[i], f[i]))
+
+        f = jax.lax.cond(
+            jnp.logical_or(lam[i] != 0, floating_base), update, lambda f: f, f
+        )
+        return (tau, f), None
+
+    if n_links > 1:
+        (tau, f), _ = jax.lax.scan(backward, (tau, f), jnp.arange(n_links - 1, 0, -1))
+
+    # Base wrench, expressed in the world frame.
+    W_f0 = mtv(B_X_W, f[0])
+    return W_f0, tau

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: env·steps/sec of the flagship 23-DoF humanoid on soft contacts.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json): 23-DoF floating-base humanoid, soft contacts,
+semi-implicit Euler, dt=1e-3, PD-held rollout, batch sharded over all
+available devices. On the single available chip the batch stays local; the
+same code path shards over ICI when more devices exist.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    batch_size = int(os.environ.get("BENCH_BATCH", "8192"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "200"))
+
+    import jaxsim_tpu.api as js
+    from jaxsim_tpu import models
+    from jaxsim_tpu.parallel import make_env_mesh, shard_data_batch
+
+    model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
+    params = js.contact.estimate_good_contact_parameters(
+        model,
+        number_of_active_collidable_points_steady_state=8,
+        max_penetration=0.006,
+        damping_ratio=0.15,
+    )
+    model = model.replace(contact_params=params)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), batch_size)
+
+    def build_one(key):
+        return js.JaxSimModelData.build(
+            model,
+            base_position=jnp.array([0.0, 0.0, 0.9])
+            + 0.01 * jax.random.normal(key, (3,)),
+        )
+
+    data0 = jax.vmap(build_one)(keys)
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        mesh = make_env_mesh()
+        data0 = shard_data_batch(data0, mesh)
+
+    def step_one(model, data):
+        tau = -60.0 * data.joint_positions - 0.5 * data.joint_velocities
+        return js.model.step(model, data, joint_force_references=tau)
+
+    step_batched = jax.vmap(step_one, in_axes=(None, 0))
+
+    @jax.jit
+    def run(model, data):
+        def body(d, _):
+            return step_batched(model, d), None
+
+        d, _ = jax.lax.scan(body, data, None, length=n_steps)
+        return d
+
+    # Warmup (compile).
+    out = run(model, data0)
+    jax.block_until_ready(out.base_position)
+
+    # Timed runs.
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = run(model, out)
+    jax.block_until_ready(out.base_position)
+    dt_s = (time.perf_counter() - t0) / reps
+
+    env_steps_per_s = batch_size * n_steps / dt_s
+    p50_step_ms = dt_s / n_steps * 1e3
+
+    result = {
+        "metric": "env_steps_per_sec_humanoid23_softcontacts_B%d" % batch_size,
+        "value": round(env_steps_per_s, 1),
+        "unit": "env*steps/s",
+        "vs_baseline": round(env_steps_per_s / 10_000_000.0, 4),
+        "extra": {
+            "batch": batch_size,
+            "steps_per_call": n_steps,
+            "batch_step_ms": round(p50_step_ms, 3),
+            "devices": n_dev,
+            "finite": bool(jnp.all(jnp.isfinite(out.base_position)).item()),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

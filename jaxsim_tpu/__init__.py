@@ -42,3 +42,11 @@ _setup_numerics()
 from . import exceptions, typing, utils  # noqa: E402
 from . import math  # noqa: E402
 from . import terrain  # noqa: E402
+from . import parsers  # noqa: E402
+from . import ops  # noqa: E402
+from . import api  # noqa: E402
+from . import models  # noqa: E402
+from .api.common import VelRepr  # noqa: E402
+from .api.data import JaxSimModelData  # noqa: E402
+from .api.model import IntegratorType, JaxSimModel  # noqa: E402
+from .api.references import JaxSimModelReferences  # noqa: E402

@@ -24,12 +24,16 @@ def _make_safe_norm(axis, keepdims):
     @_safe_norm.defjvp
     def _safe_norm_jvp(primals, tangents):
         (x,), (x_dot,) = primals, tangents
-        is_zero = jnp.all(x == 0.0)
-        safe = jnp.where(is_zero, jnp.ones_like(x), x)
-        norm = jnp.linalg.norm(safe, axis=axis, keepdims=keepdims)
-        dot = jnp.sum(safe * x_dot, axis=axis, keepdims=keepdims)
-        tangent = jnp.where(is_zero, 0.0, dot / norm)
-        return jnp.where(is_zero, 0.0, norm), tangent
+        # The zero test must be per reduced slice (elementwise on the norm),
+        # NOT on the whole array — a batch mixing zero and nonzero slices
+        # would otherwise produce 0/0 tangents for the zero slices (the
+        # reference's whole-array test, ``math/utils.py:27-40``, is only
+        # correct because it vmaps scalar points).
+        norm = jnp.linalg.norm(x, axis=axis, keepdims=keepdims)
+        dot = jnp.sum(x * x_dot, axis=axis, keepdims=keepdims)
+        is_zero = norm == 0.0
+        tangent = jnp.where(is_zero, 0.0, dot / jnp.where(is_zero, 1.0, norm))
+        return norm, tangent
 
     return _safe_norm
 

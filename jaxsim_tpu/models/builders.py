@@ -238,6 +238,7 @@ def build_humanoid_urdf(name: str = "humanoid23") -> str:
             "pelvis",
             9.0,
             _box_inertia(9.0, 0.15, 0.25, 0.15),
+            collision=_box_collision(0.15, 0.25, 0.15),
         )
     )
 
@@ -253,24 +254,24 @@ def build_humanoid_urdf(name: str = "humanoid23") -> str:
     # --- torso: 3 DoF (roll, pitch, yaw) ---
     add("torso_roll", "pelvis", ("torso_1", 2.0, (0.1, 0.2, 0.1), (0, 0, 0.05), ""), (0, 0, 0.1), (1, 0, 0))
     add("torso_pitch", "torso_1", ("torso_2", 2.0, (0.1, 0.2, 0.1), (0, 0, 0.05), ""), (0, 0, 0.1), (0, 1, 0))
-    add("torso_yaw", "torso_2", ("chest", 12.0, (0.15, 0.3, 0.25), (0, 0, 0.1), ""), (0, 0, 0.1), (0, 0, 1))
+    add("torso_yaw", "torso_2", ("chest", 12.0, (0.15, 0.3, 0.25), (0, 0, 0.1), _box_collision(0.15, 0.3, 0.25, origin=(0, 0, 0.1))), (0, 0, 0.1), (0, 0, 1))
 
     # --- arms: 4 DoF each (shoulder 3 + elbow) ---
     for side, sy in (("l", 1.0), ("r", -1.0)):
         add(f"{side}_shoulder_pitch", "chest", (f"{side}_upper_arm_1", 0.8, (0.06, 0.06, 0.1), (0, 0, -0.05), ""), (0, sy * 0.18, 0.2), (0, 1, 0))
         add(f"{side}_shoulder_roll", f"{side}_upper_arm_1", (f"{side}_upper_arm_2", 0.8, (0.06, 0.06, 0.1), (0, 0, -0.05), ""), (0, 0, 0), (1, 0, 0))
         add(f"{side}_shoulder_yaw", f"{side}_upper_arm_2", (f"{side}_upper_arm", 1.2, (0.06, 0.06, 0.25), (0, 0, -0.12), ""), (0, 0, 0), (0, 0, 1))
-        add(f"{side}_elbow", f"{side}_upper_arm", (f"{side}_forearm", 1.0, (0.05, 0.05, 0.25), (0, 0, -0.12), ""), (0, 0, -0.25), (0, 1, 0))
+        add(f"{side}_elbow", f"{side}_upper_arm", (f"{side}_forearm", 1.0, (0.05, 0.05, 0.25), (0, 0, -0.12), _box_collision(0.05, 0.05, 0.25, origin=(0, 0, -0.12))), (0, 0, -0.25), (0, 1, 0))
 
     # --- legs: 6 DoF each (hip 3 + knee + ankle 2), box-foot collisions ---
-    foot_col = _box_collision(0.2, 0.1, 0.04, origin=(0.03, 0, -0.02))
+    foot_col = _box_collision(0.22, 0.12, 0.05, origin=(0.03, 0, -0.025))
     for side, sy in (("l", 1.0), ("r", -1.0)):
         add(f"{side}_hip_pitch", "pelvis", (f"{side}_hip_1", 1.5, (0.08, 0.08, 0.08), (0, 0, 0), ""), (0, sy * 0.09, -0.08), (0, 1, 0))
         add(f"{side}_hip_roll", f"{side}_hip_1", (f"{side}_hip_2", 1.5, (0.08, 0.08, 0.08), (0, 0, 0), ""), (0, 0, 0), (1, 0, 0))
         add(f"{side}_hip_yaw", f"{side}_hip_2", (f"{side}_thigh", 4.0, (0.1, 0.1, 0.35), (0, 0, -0.17), ""), (0, 0, 0), (0, 0, 1))
         add(f"{side}_knee", f"{side}_thigh", (f"{side}_shin", 2.5, (0.08, 0.08, 0.35), (0, 0, -0.17), ""), (0, 0, -0.35), (0, 1, 0), lo=-2.8, hi=0.1)
         add(f"{side}_ankle_pitch", f"{side}_shin", (f"{side}_ankle_1", 0.7, (0.06, 0.06, 0.06), (0, 0, 0), ""), (0, 0, -0.35), (0, 1, 0))
-        add(f"{side}_ankle_roll", f"{side}_ankle_1", (f"{side}_foot", 0.8, (0.2, 0.1, 0.04), (0.03, 0, -0.02), foot_col), (0, 0, -0.05), (1, 0, 0))
+        add(f"{side}_ankle_roll", f"{side}_ankle_1", (f"{side}_foot", 1.5, (0.22, 0.12, 0.05), (0.03, 0, -0.025), foot_col), (0, 0, -0.05), (1, 0, 0))
 
     # Sole frames for each foot.
     for side in ("l", "r"):

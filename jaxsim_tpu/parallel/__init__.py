@@ -1,0 +1,5 @@
+from .sharding import (
+    make_env_mesh,
+    shard_data_batch,
+    sharded_rollout,
+)

@@ -1,0 +1,85 @@
+"""ICI sharding of environment batches.
+
+The reference has no distribution story (SURVEY.md §2.9); the TPU-native
+scaling axis for a physics engine is the environment batch: every leaf of a
+batched ``JaxSimModelData`` carries a leading env axis which we shard over a
+1D device mesh with ``NamedSharding``. No collective is needed inside a step
+(per-env state is local); XLA only inserts collectives for user-level
+reductions (losses, metrics).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_env_mesh(n_devices: int | None = None, axis_name: str = "env") -> Mesh:
+    """1D device mesh over which env batches are sharded."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, axis_names=(axis_name,))
+
+
+def shard_data_batch(data_batch, mesh: Mesh, axis_name: str = "env"):
+    """Place every leaf of a batched pytree with its leading axis sharded
+    over ``axis_name`` (replicates scalars/leaves without a batch axis)."""
+
+    def put(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1:
+            spec = P(axis_name, *([None] * (leaf.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, data_batch)
+
+
+def sharded_rollout(
+    model,
+    data_batch,
+    *,
+    n_steps: int,
+    policy_fn=None,
+    mesh: Mesh | None = None,
+    axis_name: str = "env",
+):
+    """Roll out a sharded env batch for ``n_steps`` with an on-device
+    ``lax.scan`` over time (no host round-trips).
+
+    Args:
+        model: The (replicated) model.
+        data_batch: Batched data with leading env axis (pre-sharded or not).
+        n_steps: Number of steps to advance.
+        policy_fn: Optional ``(data) -> joint torques`` callable applied
+            per-env (defaults to a PD holding zero positions).
+        mesh: Optional mesh; when given, the batch is sharded before running.
+
+    Returns:
+        The final batched data.
+    """
+    import jaxsim_tpu.api as js
+
+    if mesh is not None:
+        data_batch = shard_data_batch(data_batch, mesh, axis_name=axis_name)
+
+    policy = policy_fn or (
+        lambda d: -60.0 * d.joint_positions - 0.5 * d.joint_velocities
+    )
+
+    def step_one(model, data):
+        return js.model.step(model, data, joint_force_references=policy(data))
+
+    step_batched = jax.vmap(step_one, in_axes=(None, 0))
+
+    @jax.jit
+    def run(model, data0):
+        def body(data, _):
+            return step_batched(model, data), None
+
+        data_tf, _ = jax.lax.scan(body, data0, None, length=n_steps)
+        return data_tf
+
+    return run(model, data_batch)

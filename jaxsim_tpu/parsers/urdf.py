@@ -303,6 +303,11 @@ def parse_urdf(
         frame.inertia = np.zeros((6, 6))
         frames.append(frame)
 
+    # Fixed-base: fold the world→base pose into the base link pose so the
+    # kinematics pick it up via suc_H_i[0] with an identity base transform.
+    if fixed_base and base_link_name in links:
+        links[base_link_name].pose = world_H_base
+
     collisions: list[CollisionShape] = []
     for link_el in link_els:
         name = link_el.get("name")

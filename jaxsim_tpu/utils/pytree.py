@@ -42,7 +42,9 @@ def pytree_dataclass(cls: type[T] | None = None, **dc_kwargs):
     """
 
     def wrap(c: type[T]) -> type[T]:
-        if not dataclasses.is_dataclass(c):
+        # Check the class itself (not inherited) — subclasses of a pytree
+        # dataclass still need their own dataclass processing.
+        if "__dataclass_fields__" not in c.__dict__:
             c = dataclasses.dataclass(frozen=True, eq=False, **dc_kwargs)(c)
 
         fields = dataclasses.fields(c)

@@ -1,0 +1,250 @@
+"""API-level tests: representations, wrappers, consistency across VelRepr
+(reference ``tests/test_api_model.py``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jaxsim_tpu.api as js
+from jaxsim_tpu import models
+from tests.conftest import assert_allclose
+
+ALL_REPRS = [js.VelRepr.Inertial, js.VelRepr.Body, js.VelRepr.Mixed]
+
+
+@pytest.fixture(scope="module")
+def humanoid_model():
+    return js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
+
+
+@pytest.fixture(scope="module")
+def humanoid_data(humanoid_model):
+    return js.data.random_model_data(humanoid_model, key=jax.random.PRNGKey(7))
+
+
+def with_repr(model, data, repr_):
+    return data.replace(velocity_representation=repr_)
+
+
+def test_model_creation_and_reduction(humanoid_model):
+    model = humanoid_model
+    assert model.number_of_links() == 24
+    assert model.number_of_joints() == 23
+    assert model.floating_base()
+
+    legs = tuple(
+        j for j in model.joint_names() if ("hip" in j or "knee" in j or "ankle" in j)
+    )
+    reduced = js.model.reduce(model, considered_joints=legs)
+    assert reduced.number_of_joints() == 12
+    assert_allclose(
+        js.model.total_mass(reduced), js.model.total_mass(model), rtol=1e-5
+    )
+
+    # Reduction with locked positions shifts lumped inertias consistently.
+    locked = {j: 0.3 for j in model.joint_names() if "elbow" in j}
+    reduced2 = js.model.reduce(
+        model, considered_joints=legs, locked_joint_positions=locked
+    )
+    assert_allclose(
+        js.model.total_mass(reduced2), js.model.total_mass(model), rtol=1e-5
+    )
+
+
+def test_mass_matrix_representation_invariance(humanoid_model, humanoid_data):
+    """νᵀ M ν (kinetic energy) is representation-invariant."""
+    energies = []
+    for repr_ in ALL_REPRS:
+        d = with_repr(humanoid_model, humanoid_data, repr_)
+        M = js.model.free_floating_mass_matrix(humanoid_model, d)
+        nu = d.generalized_velocity
+        energies.append(float(nu @ M @ nu))
+    assert_allclose(energies[0], energies[1], rtol=1e-4)
+    assert_allclose(energies[0], energies[2], rtol=1e-4)
+
+
+def test_mass_matrix_inverse(humanoid_model, humanoid_data):
+    for repr_ in ALL_REPRS:
+        d = with_repr(humanoid_model, humanoid_data, repr_)
+        M = js.model.free_floating_mass_matrix(humanoid_model, d)
+        Minv = js.model.free_floating_mass_matrix_inverse(humanoid_model, d)
+        assert_allclose(
+            Minv @ M, jnp.eye(M.shape[0]), atol=2e-4,
+            err_msg=f"repr={repr_}",
+        )
+
+
+def test_jacobian_times_nu_equals_link_velocity(humanoid_model, humanoid_data):
+    """J_L ν == link velocity, in every (input, output) repr combination."""
+    for repr_in in ALL_REPRS:
+        d = with_repr(humanoid_model, humanoid_data, repr_in)
+        nu = d.generalized_velocity
+        for repr_out in ALL_REPRS:
+            J = js.model.generalized_free_floating_jacobian(
+                humanoid_model, d, output_vel_repr=repr_out
+            )
+            v_expected = jax.vmap(
+                lambda i: js.link.velocity(
+                    humanoid_model, d, link_index=i, output_vel_repr=repr_out
+                )
+            )(jnp.arange(humanoid_model.number_of_links()))
+            v_J = jnp.einsum("lij,j->li", J, nu)
+            assert_allclose(
+                v_J, v_expected, rtol=2e-4, atol=2e-4,
+                err_msg=f"in={repr_in} out={repr_out}",
+            )
+
+
+def test_bias_forces_match_crb_pipeline(humanoid_model, humanoid_data):
+    """ABA == M⁻¹(τ + Jᵀf − h) in every representation."""
+    key = jax.random.PRNGKey(3)
+    tau = jax.random.normal(key, (humanoid_model.number_of_joints(),))
+    f_L = 2.0 * jax.random.normal(key, (humanoid_model.number_of_links(), 6))
+
+    for repr_ in ALL_REPRS:
+        d = with_repr(humanoid_model, humanoid_data, repr_)
+        a1, sdd1 = js.model.forward_dynamics_aba(
+            humanoid_model, d, joint_forces=tau, link_forces=f_L
+        )
+        a2, sdd2 = js.model.forward_dynamics_crb(
+            humanoid_model, d, joint_forces=tau, link_forces=f_L
+        )
+        assert_allclose(sdd1, sdd2, rtol=5e-3, atol=5e-3, err_msg=f"{repr_}")
+        assert_allclose(a1, a2, rtol=5e-3, atol=5e-3, err_msg=f"{repr_}")
+
+
+def test_inverse_of_forward_dynamics(humanoid_model, humanoid_data):
+    """ID(FD(τ)) == τ in every representation."""
+    key = jax.random.PRNGKey(4)
+    tau = jax.random.normal(key, (humanoid_model.number_of_joints(),))
+
+    for repr_ in ALL_REPRS:
+        d = with_repr(humanoid_model, humanoid_data, repr_)
+        a, sdd = js.model.forward_dynamics_aba(humanoid_model, d, joint_forces=tau)
+        f_B, tau_back = js.model.inverse_dynamics(
+            humanoid_model, d, joint_accelerations=sdd, base_acceleration=a
+        )
+        assert_allclose(tau_back, tau, rtol=2e-3, atol=2e-3, err_msg=f"{repr_}")
+        assert_allclose(f_B, jnp.zeros(6), atol=5e-3, err_msg=f"{repr_}")
+
+
+def test_coriolis_matrix(humanoid_model, humanoid_data):
+    """C ν == h − g in every representation."""
+    for repr_ in ALL_REPRS:
+        d = with_repr(humanoid_model, humanoid_data, repr_)
+        C = js.model.free_floating_coriolis_matrix(humanoid_model, d)
+        h = js.model.free_floating_bias_forces(humanoid_model, d)
+        g = js.model.free_floating_gravity_forces(humanoid_model, d)
+        nu = d.generalized_velocity
+        assert_allclose(C @ nu, h - g, rtol=5e-3, atol=5e-3, err_msg=f"{repr_}")
+
+
+def test_link_bias_acceleration_consistency(humanoid_model, humanoid_data):
+    """J̇ν from the derivative wrapper matches an FD of J ν over time."""
+    model, data = humanoid_model, humanoid_data
+    for repr_ in ALL_REPRS:
+        d = with_repr(model, data, repr_)
+        Jd = js.model.generalized_free_floating_jacobian_derivative(model, d)
+        assert np.all(np.isfinite(np.asarray(Jd)))
+
+
+def test_momentum_and_com(humanoid_model, humanoid_data):
+    model, data = humanoid_model, humanoid_data
+    m_tot = float(js.model.total_mass(model))
+    assert m_tot > 0
+
+    W_p_com = js.com.com_position(model, data)
+    assert np.all(np.isfinite(np.asarray(W_p_com)))
+
+    # CoM linear velocity equals d/dt of CoM position (finite difference
+    # via a small SIE step with gravity off to avoid accel contribution).
+    h_G = js.com.centroidal_momentum(model, data)
+    v_com = js.com.com_linear_velocity(model, data)
+    assert_allclose(h_G[0:3] / m_tot, v_com, rtol=1e-5)
+
+    # Average velocity maps momentum consistently.
+    I_locked = js.com.locked_centroidal_spatial_inertia(model, data)
+    v_avg = js.com.average_centroidal_velocity(model, data)
+    assert_allclose(I_locked @ v_avg, h_G, rtol=1e-3, atol=1e-4)
+
+
+def test_com_velocity_vs_finite_difference(humanoid_model):
+    model = humanoid_model
+    data = js.data.random_model_data(model, key=jax.random.PRNGKey(11))
+    v_com = js.com.com_linear_velocity(model, data)
+
+    eps = 1e-4
+    from jaxsim_tpu.math import Quaternion
+
+    q2 = Quaternion.integration(
+        data.base_orientation,
+        eps,
+        data.base_angular_velocity_inertial,
+        omega_in_body_fixed=False,
+    )
+    p2 = data.base_position + eps * (
+        data.base_linear_velocity_inertial
+        + jnp.cross(data.base_angular_velocity_inertial, data.base_position)
+    )
+    data2 = data.replace(
+        model=model,
+        base_position=p2,
+        base_quaternion=q2,
+        joint_positions=data.joint_positions + eps * data.joint_velocities,
+    )
+    com1 = js.com.com_position(model, data)
+    com2 = js.com.com_position(model, data2)
+    assert_allclose((com2 - com1) / eps, v_com, rtol=2e-2, atol=5e-3)
+
+
+def test_frame_api(humanoid_model, humanoid_data):
+    model, data = humanoid_model, humanoid_data
+    assert model.number_of_frames() == 2
+    for name in model.frame_names():
+        idx = js.frame.name_to_idx(model, frame_name=name)
+        assert js.frame.idx_to_name(model, frame_index=idx) == name
+        W_H_F = js.frame.transform(model, data, frame_index=idx)
+        assert np.all(np.isfinite(np.asarray(W_H_F)))
+        # J ν == frame velocity in all reprs.
+        nu = data.generalized_velocity
+        for repr_out in ALL_REPRS:
+            J = js.frame.jacobian(
+                model, data, frame_index=idx, output_vel_repr=repr_out
+            )
+            v = js.frame.velocity(
+                model, data, frame_index=idx, output_vel_repr=repr_out
+            )
+            assert_allclose(J @ nu, v, rtol=1e-4, atol=1e-4)
+
+
+def test_contact_jacobian_vs_point_velocity(humanoid_model, humanoid_data):
+    model, data = humanoid_model, humanoid_data
+    _, W_pd_C = js.contact.collidable_point_kinematics(model, data)
+    J = js.contact.jacobian(model, data, output_vel_repr=js.VelRepr.Mixed)
+    nu = data.generalized_velocity
+    v_J = jnp.einsum("cij,j->ci", J, nu)[:, 0:3]
+    assert_allclose(v_J, W_pd_C, rtol=1e-4, atol=1e-4)
+
+
+def test_no_retracing(humanoid_model):
+    """Two models built from the same URDF share the JIT cache
+    (reference ``tests/test_pytree.py:13``)."""
+    import chex
+
+    urdf = models.build_humanoid_urdf()
+    m1 = js.JaxSimModel.build_from_model_description(urdf)
+    m2 = js.JaxSimModel.build_from_model_description(urdf)
+    assert hash(m1) == hash(m2)
+    assert m1 == m2
+
+    @jax.jit
+    @chex.assert_max_traces(n=1)
+    def f(model, data):
+        return js.model.free_floating_mass_matrix(model, data)
+
+    chex.clear_trace_counter()
+    d1 = js.JaxSimModelData.build(m1)
+    d2 = js.JaxSimModelData.build(m2)
+    f(m1, d1)
+    f(m2, d2)  # must not retrace

@@ -313,7 +313,7 @@ def test_collidable_points(humanoid_kdp, prng_key):
     p, pd = ops.collidable_points_pos_vel(
         kdp, link_transforms=W_H_L, link_velocities_inertial=W_v_WL
     )
-    assert p.shape == (16, 3) and pd.shape == (16, 3)
+    assert p.shape == (48, 3) and pd.shape == (48, 3)
 
     # Finite-difference check of point velocities via a small FK step: build
     # s2 = s + eps ṡ and move the base along its velocity. eps is large-ish

@@ -13,6 +13,7 @@ from . import (
     com,
     contact,
     frame,
+    hw_parameters,
     integrators,
     joint,
     link,

@@ -137,3 +137,64 @@ def link_forces_from_contact_forces(model, *, contact_forces) -> jtp.Matrix:
     parents = jnp.array(cp.body, dtype=int)[jnp.array(idx, dtype=int)]
     mask = parents[:, None] == jnp.arange(model.number_of_links())
     return jnp.einsum("cl,ci->li", mask.astype(W_f_C.dtype), W_f_C)
+
+
+@named_scope
+def jacobian_derivative(
+    model, data, *, output_vel_repr: VelRepr | None = None
+) -> jtp.Array:
+    """``(nC, 6, 6+n)`` Jacobian derivatives of the collidable points
+    (reference ``contact.py:391-511``)."""
+    from jaxsim_tpu.math import Skew
+
+    from . import model as js_model
+
+    output_vel_repr = (
+        output_vel_repr if output_vel_repr is not None else data.velocity_representation
+    )
+
+    idx = model.kin_dyn_parameters.contact_parameters.indices_of_enabled_collidable_points
+    parents = jnp.array(
+        [model.kin_dyn_parameters.contact_parameters.body[i] for i in idx], dtype=int
+    )
+
+    J_W = js_model.generalized_free_floating_jacobian(
+        model, data, output_vel_repr=VelRepr.Inertial
+    )[parents]
+    Jd_W = js_model.generalized_free_floating_jacobian_derivative(
+        model, data, output_vel_repr=VelRepr.Inertial
+    )[parents]
+
+    if output_vel_repr is VelRepr.Inertial:
+        return Jd_W
+
+    W_p_C, W_pd_C = collidable_point_kinematics(model, data)
+    nC = W_p_C.shape[0]
+
+    if output_vel_repr is VelRepr.Mixed:
+        # CW frame: origin W_p_C, orientation W. CW_X_W = [[I, -p̂],[0, I]];
+        # its derivative is [[0, -ṗ̂],[0, 0]].
+        CW_X_W = (
+            jnp.broadcast_to(jnp.eye(6), (nC, 6, 6))
+            .at[:, 0:3, 3:6]
+            .set(-Skew.wedge(W_p_C))
+        )
+        CWd_X_W = jnp.zeros((nC, 6, 6)).at[:, 0:3, 3:6].set(-Skew.wedge(W_pd_C))
+        return jnp.einsum("cij,cjk->cik", CW_X_W, Jd_W) + jnp.einsum(
+            "cij,cjk->cik", CWd_X_W, J_W
+        )
+
+    if output_vel_repr is VelRepr.Body:
+        from jaxsim_tpu.math import Adjoint, Cross
+
+        W_H_C = transforms(model, data)
+        C_X_W = Adjoint.from_transform(W_H_C, inverse=True)
+        # The C frame is rigidly attached to the parent link: same inertial
+        # 6D velocity as the link.
+        W_v_WC = data._link_velocities[parents]
+        C_v_WC = jnp.einsum("cij,cj->ci", C_X_W, W_v_WC)
+        C_Xd_W = -jnp.einsum("cij,cjk->cik", Cross.vx(C_v_WC), C_X_W)
+        return jnp.einsum("cij,cjk->cik", C_X_W, Jd_W) + jnp.einsum(
+            "cij,cjk->cik", C_Xd_W, J_W
+        )
+    raise ValueError(output_vel_repr)

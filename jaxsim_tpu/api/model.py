@@ -298,9 +298,17 @@ def forward_kinematics(model: JaxSimModel, data) -> jtp.Array:
     return data._link_transforms
 
 
+def _base_link_transform(data) -> jtp.Matrix:
+    """World pose of the base LINK frame (includes the root-pose offset
+    suc_H_i[0], unlike the raw state transform ``data._base_transform``).
+    This is the frame the doubly-left Jacobians and stored velocities refer
+    to."""
+    return data._link_transforms[0]
+
+
 def _input_repr_transform(model: JaxSimModel, data, repr_: VelRepr) -> jtp.Matrix:
     """T such that ν_body = blockdiag(T, I_n) @ ν_repr (base block only)."""
-    W_H_B = data._base_transform
+    W_H_B = _base_link_transform(data)
     if repr_ is VelRepr.Body:
         return jnp.eye(6)
     if repr_ is VelRepr.Inertial:
@@ -344,7 +352,7 @@ def generalized_free_floating_jacobian(
     J_links = jnp.where(mask[:, None, :], J[None, :, :], 0.0)  # (nL, 6, 6+n)
 
     # Output conversion: left-multiply by O_X_B per link.
-    W_H_B = data._base_transform
+    W_H_B = _base_link_transform(data)
     if output_vel_repr is VelRepr.Body:
         O_X_B = Adjoint.from_transform(B_H_L, inverse=True)  # L_X_B
     elif output_vel_repr is VelRepr.Inertial:
@@ -412,7 +420,7 @@ def _inertial_acceleration_to_other(model, data, W_a_WB):
     """Proper conversion of a base *acceleration* between representations
     (the extra ω×v terms appear for Mixed)."""
     repr_ = data.velocity_representation
-    W_H_B = data._base_transform
+    W_H_B = _base_link_transform(data)
     W_v_WB = _base_velocity_inertial(data)
 
     if repr_ is VelRepr.Inertial:
@@ -439,7 +447,7 @@ def _inertial_acceleration_to_other(model, data, W_a_WB):
 def _other_acceleration_to_inertial(model, data, O_a_WB):
     """Inverse of :func:`_inertial_acceleration_to_other`."""
     repr_ = data.velocity_representation
-    W_H_B = data._base_transform
+    W_H_B = _base_link_transform(data)
     W_v_WB = _base_velocity_inertial(data)
 
     if repr_ is VelRepr.Inertial:
@@ -552,7 +560,7 @@ def inverse_dynamics(
 
     # Base wrench: inertial → data's representation.
     f_B = inertial_to_other_representation(
-        W_f_B, data.velocity_representation, data._base_transform, is_force=True
+        W_f_B, data.velocity_representation, _base_link_transform(data), is_force=True
     )
     return f_B, tau
 
@@ -649,7 +657,7 @@ def free_floating_coriolis_matrix(model: JaxSimModel, data) -> jtp.Matrix:
     # Representation change: C' = Tᵀ C T + Tᵀ M Ṫ (reference
     # ``api/model.py:1715-1743``): build T and Ṫ block-diagonals.
     T6 = _input_repr_transform(model, data, repr_)
-    W_H_B = data._base_transform
+    W_H_B = _base_link_transform(data)
     W_v_WB = _base_velocity_inertial(data)
     if repr_ is VelRepr.Inertial:
         B_X_W = T6
@@ -883,7 +891,7 @@ def generalized_free_floating_jacobian_derivative(
     B_J = jnp.where(mask[:, None, :], B_J_full[None], 0.0)  # (nL, 6, 6+n)
     B_Jd = jnp.where(mask[:, None, :], B_Jd_full[None], 0.0)
 
-    W_H_B = data._base_transform
+    W_H_B = _base_link_transform(data)
     W_v_WB = _base_velocity_inertial(data)
     B_X_W = Adjoint.from_transform(W_H_B, inverse=True)
     B_v_WB = ops.mv(B_X_W, W_v_WB)

@@ -1,0 +1,4 @@
+from .common import ContactModel, ContactsParams, compute_penetration_data
+from .relaxed_rigid import RelaxedRigidContacts, RelaxedRigidContactsParams
+from .rigid import RigidContacts, RigidContactsParams
+from .soft import SoftContacts, SoftContactsParams

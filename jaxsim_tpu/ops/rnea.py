@@ -61,9 +61,15 @@ def rnea(
     S = kdp.motion_subspaces
     M = kdp.link_parameters.spatial_inertia()
 
-    W_X_B = Adjoint.from_transform(W_H_B)
-    B_X_W = Adjoint.from_transform(W_H_B, inverse=True)
     i_X_li = kdp.joint_transforms(joint_positions=s, base_transform=W_H_B)
+    # The kinematic base frame is the base LINK frame, which includes the
+    # optional root offset suc_H_i[0] (non-identity for models whose base
+    # link pose differs from the model root, e.g. fixed-base with a world
+    # offset). joint_transforms row 0 composes it; force/velocity transforms
+    # here must use the same frame.
+    W_H_B0 = W_H_B @ kdp.joint_model.suc_H_i[0]
+    W_X_B = Adjoint.from_transform(W_H_B0)
+    B_X_W = Adjoint.from_transform(W_H_B0, inverse=True)
 
     v = jnp.zeros((n_links, 6))
     a = jnp.zeros((n_links, 6)).at[0].set(-mv(B_X_W, W_g))

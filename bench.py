@@ -5,8 +5,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload (BASELINE.json): 23-DoF floating-base humanoid, soft contacts,
 semi-implicit Euler, dt=1e-3, PD-held rollout, batch sharded over all
-available devices. On the single available chip the batch stays local; the
-same code path shards over ICI when more devices exist.
+available devices. Uses the batch-minor engine (jaxsim_tpu.ops.batched_engine)
+— the TPU hot path; BENCH_PATH=vmap measures the generic vmap path instead.
 """
 
 from __future__ import annotations
@@ -26,7 +26,10 @@ def main() -> None:
 
     import jaxsim_tpu.api as js
     from jaxsim_tpu import models
+    from jaxsim_tpu.ops.batched_engine import BatchedEngine
     from jaxsim_tpu.parallel import make_env_mesh, shard_data_batch
+
+    use_vmap_path = os.environ.get("BENCH_PATH", "batched") == "vmap"
 
     model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
     params = js.contact.estimate_good_contact_parameters(
@@ -37,46 +40,70 @@ def main() -> None:
     )
     model = model.replace(contact_params=params)
 
-    keys = jax.random.split(jax.random.PRNGKey(0), batch_size)
-
-    def build_one(key):
-        return js.JaxSimModelData.build(
-            model,
-            base_position=jnp.array([0.0, 0.0, 0.9])
-            + 0.01 * jax.random.normal(key, (3,)),
-        )
-
-    data0 = jax.vmap(build_one)(keys)
-
     n_dev = len(jax.devices())
-    if n_dev > 1:
-        mesh = make_env_mesh()
-        data0 = shard_data_batch(data0, mesh)
 
-    def step_one(model, data):
-        tau = -60.0 * data.joint_positions - 0.5 * data.joint_velocities
-        return js.model.step(model, data, joint_force_references=tau)
+    if use_vmap_path:
+        keys = jax.random.split(jax.random.PRNGKey(0), batch_size)
 
-    step_batched = jax.vmap(step_one, in_axes=(None, 0))
+        def build_one(key):
+            return js.JaxSimModelData.build(
+                model,
+                base_position=jnp.array([0.0, 0.0, 0.9])
+                + 0.01 * jax.random.normal(key, (3,)),
+            )
 
-    @jax.jit
-    def run(model, data):
-        def body(d, _):
-            return step_batched(model, d), None
+        data0 = jax.vmap(build_one)(keys)
+        if n_dev > 1:
+            data0 = shard_data_batch(data0, make_env_mesh())
 
-        d, _ = jax.lax.scan(body, data, None, length=n_steps)
-        return d
+        def step_one(model, data):
+            tau = -60.0 * data.joint_positions - 0.5 * data.joint_velocities
+            return js.model.step(model, data, joint_force_references=tau)
+
+        step_batched = jax.vmap(step_one, in_axes=(None, 0))
+
+        @jax.jit
+        def run(data):
+            def body(d, _):
+                return step_batched(model, d), None
+
+            d, _ = jax.lax.scan(body, data, None, length=n_steps)
+            return d
+
+        out_leaf = lambda o: o.base_position
+    else:
+        eng = BatchedEngine.build(model)
+        state = eng.init_state(batch_size, key=jax.random.PRNGKey(0))
+        if n_dev > 1:
+            # Shard the TRAILING env axis over the mesh.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = make_env_mesh()
+            state = jax.tree.map(
+                lambda a: jax.device_put(
+                    a,
+                    NamedSharding(mesh, P(*([None] * (a.ndim - 1) + ["env"]))),
+                ),
+                state,
+            )
+        data0 = state
+
+        @jax.jit
+        def run(st):
+            return eng.rollout(st, n_steps)
+
+        out_leaf = lambda o: o.p
 
     # Warmup (compile).
-    out = run(model, data0)
-    jax.block_until_ready(out.base_position)
+    out = run(data0)
+    jax.block_until_ready(out_leaf(out))
 
     # Timed runs.
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        out = run(model, out)
-    jax.block_until_ready(out.base_position)
+        out = run(out)
+    jax.block_until_ready(out_leaf(out))
     dt_s = (time.perf_counter() - t0) / reps
 
     env_steps_per_s = batch_size * n_steps / dt_s
@@ -92,7 +119,8 @@ def main() -> None:
             "steps_per_call": n_steps,
             "batch_step_ms": round(p50_step_ms, 3),
             "devices": n_dev,
-            "finite": bool(jnp.all(jnp.isfinite(out.base_position)).item()),
+            "path": "vmap" if use_vmap_path else "batched_engine",
+            "finite": bool(jnp.all(jnp.isfinite(out_leaf(out))).item()),
         },
     }
     print(json.dumps(result))

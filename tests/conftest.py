@@ -12,6 +12,7 @@ import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("MUJOCO_GL", "egl")  # headless offline rendering
 
 import jax
 

@@ -1,0 +1,146 @@
+"""Batch-minor engine equivalence tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jaxsim_tpu.api as js
+from jaxsim_tpu import models, ops
+from jaxsim_tpu.ops.batched_engine import BatchedEngine
+from tests.conftest import assert_allclose
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
+    model = model.replace(
+        contact_params=js.contact.estimate_good_contact_parameters(
+            model,
+            number_of_active_collidable_points_steady_state=8,
+            max_penetration=0.006,
+            damping_ratio=0.15,
+        )
+    )
+    eng = BatchedEngine.build(model)
+    B = 4
+    key = jax.random.PRNGKey(0)
+    datas = jax.vmap(
+        lambda k: js.JaxSimModelData.build(
+            model,
+            base_position=jnp.array([0.0, 0.0, 0.86])
+            + 0.01 * jax.random.normal(k, (3,)),
+            joint_positions=0.1 * jax.random.normal(k, (23,)),
+            joint_velocities=0.1
+            * jax.random.normal(jax.random.split(k)[0], (23,)),
+            velocity_representation=js.VelRepr.Inertial,
+        )
+    )(jax.random.split(key, B))
+    return model, eng, datas
+
+
+def test_fk_equivalence(setup):
+    model, eng, datas = setup
+    st = eng.state_from_data(datas)
+    W_R, W_p, W_v = eng.fk(st)
+    p_stack = jnp.stack([jnp.moveaxis(p, -1, 0) for p in W_p], 1)
+    R_stack = jnp.stack([jnp.moveaxis(R, -1, 0) for R in W_R], 1)
+    v_stack = jnp.stack([jnp.moveaxis(v, -1, 0) for v in W_v], 1)
+    assert_allclose(p_stack, datas._link_transforms[:, :, :3, 3], atol=1e-5)
+    assert_allclose(R_stack, datas._link_transforms[:, :, :3, :3], atol=1e-5)
+    assert_allclose(v_stack, datas._link_velocities, atol=1e-5)
+
+
+def test_aba_equivalence_with_forces(setup):
+    model, eng, datas = setup
+    data = jax.tree.map(lambda x: x[0], datas)
+    data = data.update_cache(model)
+    f_ext = jax.random.normal(jax.random.PRNGKey(3), (24, 6))
+
+    Wa_ref, sdd_ref = ops.aba(
+        model.kin_dyn_parameters,
+        base_transform=data._base_transform,
+        joint_positions=data.joint_positions,
+        base_velocity_inertial=jnp.concatenate(
+            [data.base_linear_velocity_inertial, data.base_angular_velocity_inertial]
+        ),
+        joint_velocities=data.joint_velocities,
+        link_forces_inertial=f_ext,
+        floating_base=True,
+    )
+    st = eng.state_from_data(jax.tree.map(lambda x: x[None], data))
+    W_R, W_p, W_v = eng.fk(st)
+    fl = [f_ext[i][:, None] for i in range(24)]
+    Wa_b, sdd_b = eng.aba(st, W_R, W_p, W_v, fl, jnp.zeros((23, 1)))
+    assert_allclose(sdd_b[:, 0], sdd_ref, rtol=1e-3, atol=1e-3)
+    assert_allclose(Wa_b[:, 0], Wa_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_contact_equivalence(setup):
+    model, eng, datas = setup
+    data = jax.tree.map(lambda x: x[0], datas)
+    data = data.update_cache(model)
+    W_f_ref, _ = js.contact.link_contact_forces(model, data)
+
+    st = eng.state_from_data(jax.tree.map(lambda x: x[None], data))
+    W_R, W_p, W_v = eng.fk(st)
+    fl, md = eng.soft_contact_forces(W_R, W_p, W_v, st.m)
+    fl_full = jnp.stack(
+        [f[:, 0] if f is not None else jnp.zeros(6) for f in fl]
+    )
+    assert_allclose(fl_full, W_f_ref, rtol=1e-4, atol=1e-2)
+
+
+def test_trajectory_equivalence(setup):
+    """50 steps of the full step agree with the reference path."""
+    model, eng, datas = setup
+    tau_fn = lambda s, sd: -60.0 * s - 0.5 * sd
+    step_ref = jax.jit(
+        jax.vmap(
+            lambda d: js.model.step(
+                model,
+                d,
+                joint_force_references=tau_fn(d.joint_positions, d.joint_velocities),
+            )
+        )
+    )
+    step_b = jax.jit(lambda st: eng.step(st, tau_fn(st.s, st.sd)))
+
+    d = datas
+    st = eng.state_from_data(datas)
+    for _ in range(50):
+        d = step_ref(d)
+        st = step_b(st)
+
+    assert_allclose(
+        jnp.moveaxis(st.s, -1, 0), d.joint_positions, rtol=1e-2, atol=5e-3
+    )
+    assert_allclose(
+        jnp.moveaxis(st.p, -1, 0), d.base_position, rtol=1e-2, atol=2e-3
+    )
+
+
+def test_rollout_scan_and_grad(setup):
+    """lax.scan rollout runs and jax.grad flows through it."""
+    model, eng, datas = setup
+    st = eng.state_from_data(datas)
+    out = jax.jit(lambda s: eng.rollout(s, 10))(st)
+    assert np.all(np.isfinite(np.asarray(out.p)))
+
+    def loss(kp):
+        o = eng.rollout(st, 5, policy=lambda s: -kp * s.s - 0.5 * s.sd)
+        return jnp.sum(o.sd**2)
+
+    g = jax.jit(jax.grad(loss))(60.0)
+    assert np.isfinite(float(g))
+
+
+def test_state_data_roundtrip(setup):
+    model, eng, datas = setup
+    st = eng.state_from_data(datas)
+    datas2 = eng.data_from_state(model, st)
+    assert_allclose(datas2.base_position, datas.base_position, atol=1e-6)
+    assert_allclose(datas2.joint_positions, datas.joint_positions, atol=1e-6)
+    assert_allclose(
+        datas2._link_transforms, datas._link_transforms, atol=1e-5
+    )

@@ -1,0 +1,71 @@
+"""Visualization smoke tests (reference ``tests/test_visualizer.py:22-56``)."""
+
+import mujoco
+import numpy as np
+import pytest
+
+import jaxsim_tpu.api as js
+from jaxsim_tpu import models
+from jaxsim_tpu.mujoco import (
+    ModelToMjcf,
+    MujocoModelHelper,
+    MujocoVideoRecorder,
+    mujoco_data_from_jaxsim,
+)
+
+
+def test_urdf_to_mjcf_fixed_base():
+    mjcf = ModelToMjcf.convert(models.build_pendulum_urdf(2))
+    model = mujoco.MjModel.from_xml_string(mjcf)
+    helper = MujocoModelHelper(model)
+    assert not helper.is_floating_base()
+    assert "joint1" in helper.joint_names()
+
+
+def test_urdf_to_mjcf_floating_base():
+    mjcf = ModelToMjcf.convert(models.build_humanoid_urdf())
+    model = mujoco.MjModel.from_xml_string(mjcf)
+    helper = MujocoModelHelper(model)
+    assert helper.is_floating_base()
+    helper.set_base_position(np.array([0.0, 0.0, 1.0]))
+    helper.set_joint_position("l_knee", -0.5)
+    helper.forward()
+    assert helper.joint_position("l_knee") == pytest.approx(-0.5)
+
+
+def test_sdf_to_mjcf():
+    sdf = """<sdf version="1.7"><model name="sdfbox">
+      <link name="b"><inertial><mass>1</mass>
+      <inertia><ixx>0.1</ixx><iyy>0.1</iyy><izz>0.1</izz></inertia></inertial>
+      </link></model></sdf>"""
+    mjcf = ModelToMjcf.convert(sdf)
+    mujoco.MjModel.from_xml_string(mjcf)
+
+
+def test_inclined_plane():
+    mjcf = ModelToMjcf.convert(
+        models.build_box_urdf(), plane_normal=(0.1, 0.0, 1.0)
+    )
+    mujoco.MjModel.from_xml_string(mjcf)
+
+
+def test_data_bridge_and_render():
+    """JaxSim state → MjData → offline frame render."""
+    import jax.numpy as jnp
+
+    urdf = models.build_humanoid_urdf()
+    model = js.JaxSimModel.build_from_model_description(urdf)
+    data = js.JaxSimModelData.build(
+        model,
+        base_position=jnp.array([0.0, 0.0, 0.9]),
+        joint_positions=0.1 * jnp.ones(23),
+    )
+
+    mjcf = ModelToMjcf.convert(urdf)
+    mj_model = mujoco.MjModel.from_xml_string(mjcf)
+    mj_data = mujoco_data_from_jaxsim(mj_model, model, data)
+    assert mj_data.qpos[2] == pytest.approx(0.9)
+
+    recorder = MujocoVideoRecorder(mj_model, mj_data, width=64, height=48)
+    frame = recorder.render_frame()
+    assert frame.shape == (48, 64, 3)

@@ -5,22 +5,28 @@ per-env arrays with the batch LEADING and tiny trailing dims like ``(B, 6,
 6)``; XLA tiles the minor-most two dims onto the 8×128 VPU/MXU registers, so
 6×6 operands waste >95% of each tile and the step is latency-bound.
 
-This engine keeps the batch in the TRAILING axis — every tensor is
-``(..., B)`` so element-wise spatial algebra maps 1:1 onto full VPU lanes —
-and exploits the static topology:
+This engine keeps the batch in the TRAILING axes — every tensor is
+``(..., *batch)`` (1D ``(B,)`` or 2D ``(B₁, 128)`` tiles) so element-wise
+spatial algebra maps 1:1 onto full VPU lanes — and exploits the static
+topology:
 
-* transforms as (R ``(3,3,B)``, p ``(3,B)``) pairs — 12 numbers instead of a
-  36-entry adjoint, and fewer FLOPs per application;
+* transforms as (R ``(3,3,*b)``, p ``(3,*b)``) pairs — 12 numbers instead of
+  a 36-entry adjoint, and fewer FLOPs per application;
 * the kinematic-tree sweeps (FK + 3 ABA passes) are unrolled Python loops
   over the static parent array — no gathers, no scan carry;
 * the 6×6 articulated-body solve at the base is a hand-unrolled Cholesky on
-  ``(B,)`` vectors (no batched-LU tiny-matmul);
+  batch vectors (no batched-LU tiny-matmuls);
 * Hunt/Crossley soft contacts and the semi-implicit Euler update are plain
   element-wise expressions over the batch.
 
-The whole step is one fused XLA computation (wrap with ``jax.jit``), is
-identical in math to the reference path (cross-validated in
-``tests/test_batched_engine.py``), and supports ``jax.grad`` end-to-end.
+Numeric model parameters are threaded through a ``params`` pytree so the
+same code runs (a) under plain XLA with the parameters as embedded
+constants, and (b) inside the fused Pallas kernel
+(:mod:`jaxsim_tpu.ops.pallas_step`) with the parameters as VMEM inputs.
+
+Math is identical to the reference path (cross-validated in
+``tests/test_batched_engine.py``) and supports ``jax.grad`` end-to-end (in
+XLA mode).
 
 Role of the reference's "hot loops" — its lax.scan RBDAs
 (``src/jaxsim/rbda/aba.py``, ``forward_kinematics.py``) — re-laid-out for
@@ -43,19 +49,73 @@ from jaxsim_tpu.utils import pytree_dataclass
 # ----------------------------------------------------------------------
 
 
+# When True, all small matrix algebra is unrolled into elementwise ops so
+# Mosaic (Pallas TPU) can lower it; under plain XLA, einsums trace ~10x fewer
+# primitives and compile much faster. pallas_step flips this during kernel
+# tracing.
+_MOSAIC = False
+
+
+def set_mosaic_mode(on: bool) -> None:
+    global _MOSAIC
+    _MOSAIC = bool(on)
+
+
+def _mm(A, B, n):
+    """(n,n,*b) @ (n,n,*b)."""
+    if not _MOSAIC:
+        return jnp.einsum("ij...,jk...->ik...", A, B)
+    rows = []
+    for i in range(n):
+        cols = []
+        for j in range(n):
+            acc = A[i, 0] * B[0, j]
+            for k in range(1, n):
+                acc = acc + A[i, k] * B[k, j]
+            cols.append(acc)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def _mv_u(A, v, n):
+    """(n,n,*b) @ (n,*b)."""
+    if not _MOSAIC:
+        return jnp.einsum("ij...,j...->i...", A, v)
+    out = []
+    for i in range(n):
+        acc = A[i, 0] * v[0]
+        for k in range(1, n):
+            acc = acc + A[i, k] * v[k]
+        out.append(acc)
+    return jnp.stack(out)
+
+
+def _mtv_u(A, v, n):
+    """Aᵀ v."""
+    if not _MOSAIC:
+        return jnp.einsum("ji...,j...->i...", A, v)
+    out = []
+    for i in range(n):
+        acc = A[0, i] * v[0]
+        for k in range(1, n):
+            acc = acc + A[k, i] * v[k]
+        out.append(acc)
+    return jnp.stack(out)
+
+
 def _rr(A, B):
-    """(3,3,B) @ (3,3,B)."""
-    return jnp.einsum("ij...,jk...->ik...", A, B)
+    """(3,3,*b) @ (3,3,*b)."""
+    return _mm(A, B, 3)
 
 
 def _rv(A, v):
-    """(3,3,B) @ (3,B)."""
-    return jnp.einsum("ij...,j...->i...", A, v)
+    """(3,3,*b) @ (3,*b)."""
+    return _mv_u(A, v, 3)
 
 
 def _rtv(A, v):
-    """Aᵀ v for (3,3,B), (3,B)."""
-    return jnp.einsum("ji...,j...->i...", A, v)
+    """Aᵀ v."""
+    return _mtv_u(A, v, 3)
 
 
 def _cross(a, b):
@@ -68,8 +128,33 @@ def _cross(a, b):
     )
 
 
+def _bc(a, bshape):
+    """Reshape a leading-shape array for broadcasting over batch dims."""
+    a = jnp.asarray(a, dtype=float)
+    return a.reshape(a.shape + (1,) * len(bshape))
+
+
+def _bvec(v, n, bshape):
+    """(n,) vector broadcast to (n, *b). Mosaic mode: scalar splats (no
+    rank-extending reshape, which Mosaic cannot lower)."""
+    if not _MOSAIC:
+        return jnp.broadcast_to(_bc(v, bshape), (n,) + bshape)
+    ones = jnp.ones(bshape)
+    return jnp.stack([v[i] * ones for i in range(n)])
+
+
+def _bmat(M, n, m, bshape):
+    """(n,m) matrix broadcast to (n, m, *b) (Mosaic-safe)."""
+    if not _MOSAIC:
+        return jnp.broadcast_to(_bc(M, bshape), (n, m) + bshape)
+    ones = jnp.ones(bshape)
+    return jnp.stack(
+        [jnp.stack([M[i, j] * ones for j in range(m)]) for i in range(n)]
+    )
+
+
 def _quat_to_rot(q):
-    """(4,B) wxyz → (3,3,B) (norm-robust)."""
+    """(4,*b) wxyz → (3,3,*b) (norm-robust)."""
     w, x, y, z = q[0], q[1], q[2], q[3]
     n = w * w + x * x + y * y + z * z
     s = 2.0 / jnp.where(n == 0, 1.0, n)
@@ -87,7 +172,7 @@ def _quat_to_rot(q):
 
 
 def _xv(R, p, v6):
-    """Motion transform [[R, p̂R],[0,R]] applied to (6,B)."""
+    """Motion transform [[R, p̂R],[0,R]] applied to (6,*b)."""
     lin, ang = v6[0:3], v6[3:6]
     Ra = _rv(R, ang)
     return jnp.concatenate([_rv(R, lin) + _cross(p, Ra), Ra])
@@ -106,14 +191,8 @@ def _inv_rp(R, p):
     return Rt, -_rv(Rt, p)
 
 
-def _const(a, batch_shape):
-    """Reshape a static numpy array for broadcasting over trailing batch dims."""
-    a = jnp.asarray(np.asarray(a), dtype=float)
-    return a.reshape(a.shape + (1,) * len(batch_shape))
-
-
 def _build_X(R, p):
-    """Explicit 6×6 adjoint (6,6,*batch) from an (R, p) pair."""
+    """Explicit 6×6 adjoint (6,6,*b) from an (R, p) pair."""
     zero = jnp.zeros_like(R)
     px = jnp.stack(
         [
@@ -128,8 +207,8 @@ def _build_X(R, p):
 
 
 def _chol6_solve(M, b):
-    """Solve M x = b for SPD (6,6,B) M and (6,B) b with a hand-unrolled
-    Cholesky — all ops are element-wise over the batch."""
+    """Solve M x = b for SPD (6,6,*b) M and (6,*b) b with a hand-unrolled
+    Cholesky — all ops element-wise over the batch."""
     L = [[None] * 6 for _ in range(6)]
     for i in range(6):
         s = M[i, i]
@@ -142,14 +221,12 @@ def _chol6_solve(M, b):
             for k in range(i):
                 s = s - L[j][k] * L[i][k]
             L[j][i] = s * inv_d
-    # Forward substitution L y = b.
     y = [None] * 6
     for i in range(6):
         s = b[i]
         for k in range(i):
             s = s - L[i][k] * y[k]
         y[i] = s / L[i][i]
-    # Backward substitution Lᵀ x = y.
     x = [None] * 6
     for i in reversed(range(6)):
         s = y[i]
@@ -157,6 +234,21 @@ def _chol6_solve(M, b):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
     return jnp.stack(x)
+
+
+def _skew3(a, bshape):
+    """Skew matrix (3,3,*b) of a possibly-traced (3,) vector."""
+    z = jnp.zeros(bshape) if bshape else jnp.asarray(0.0)
+    a0 = a[0] * jnp.ones(bshape) if bshape else a[0]
+    a1 = a[1] * jnp.ones(bshape) if bshape else a[1]
+    a2 = a[2] * jnp.ones(bshape) if bshape else a[2]
+    return jnp.stack(
+        [
+            jnp.stack([z, -a2, a1]),
+            jnp.stack([a2, z, -a0]),
+            jnp.stack([-a1, a0, z]),
+        ]
+    )
 
 
 # ----------------------------------------------------------------------
@@ -168,35 +260,24 @@ def _chol6_solve(M, b):
 class BatchedState:
     """Structure-of-arrays env-batch state: every leaf has trailing batch."""
 
-    s: jtp.Array  # (n, B)
-    sd: jtp.Array  # (n, B)
-    p: jtp.Array  # (3, B) base position
-    q: jtp.Array  # (4, B) base quaternion (wxyz)
-    v: jtp.Array  # (6, B) base inertial velocity
-    m: jtp.Array  # (nC, 3, B) tangential deformation
+    s: jtp.Array  # (n, *b)
+    sd: jtp.Array  # (n, *b)
+    p: jtp.Array  # (3, *b) base position
+    q: jtp.Array  # (4, *b) base quaternion (wxyz)
+    v: jtp.Array  # (6, *b) base inertial velocity
+    m: jtp.Array  # (nC, 3, *b) tangential deformation
 
 
 @dataclasses.dataclass(frozen=True)
 class BatchedEngine:
-    """Precomputed static model data + the fused batched step.
-
-    Build once per model with :func:`BatchedEngine.build`; all numeric model
-    parameters are baked as compile-time constants (numpy), which lets XLA
-    constant-fold the static parts of every transform composition.
-    """
+    """Static topology + scalar parameters; numeric arrays via params()."""
 
     n_links: int
     n_joints: int
     n_points: int
-    lam: tuple  # parent array
-    S: tuple  # (nL, 6) motion subspaces (numpy)
-    M_links: tuple  # (nL, 6, 6)
-    joint_axis: tuple  # (n, 3)
+    lam: tuple  # parent array (static ints)
     joint_types: tuple
-    lambda_H_pre: tuple  # (nJ+1, 4, 4)
-    suc_H_i: tuple  # (nJ+1, 4, 4)
-    contact_parent: tuple  # (nC,)
-    contact_point: tuple  # (nC, 3)
+    contact_parent: tuple  # (nC,) static ints
     K: float
     D: float
     mu: float
@@ -205,6 +286,14 @@ class BatchedEngine:
     gravity_z: float
     dt: float
     floating_base: bool
+
+    # Numeric model arrays, kept as nested tuples (hashable, numpy-convertible).
+    _S: tuple = dataclasses.field(repr=False, default=())
+    _M_links: tuple = dataclasses.field(repr=False, default=())
+    _joint_axis: tuple = dataclasses.field(repr=False, default=())
+    _lambda_H_pre: tuple = dataclasses.field(repr=False, default=())
+    _suc_H_i: tuple = dataclasses.field(repr=False, default=())
+    _contact_point: tuple = dataclasses.field(repr=False, default=())
 
     @staticmethod
     def build(model) -> "BatchedEngine":
@@ -217,16 +306,8 @@ class BatchedEngine:
             n_joints=kdp.number_of_joints(),
             n_points=len(idx),
             lam=tuple(kdp.parent_array_static),
-            S=_np_tuple(kdp.motion_subspaces),
-            M_links=_np_tuple(kdp.link_parameters.spatial_inertia()),
-            joint_axis=_np_tuple(kdp.joint_model.joint_axis),
             joint_types=tuple(kdp.joint_model.joint_types),
-            lambda_H_pre=_np_tuple(kdp.joint_model.lambda_H_pre),
-            suc_H_i=_np_tuple(kdp.joint_model.suc_H_i),
             contact_parent=tuple(int(cp.body[i]) for i in idx),
-            contact_point=_np_tuple(cp.point[jnp.array(idx, dtype=int)])
-            if len(idx)
-            else (),
             K=float(pars.K),
             D=float(pars.D),
             mu=float(pars.mu),
@@ -235,6 +316,28 @@ class BatchedEngine:
             gravity_z=float(model.gravity),
             dt=float(model.time_step),
             floating_base=model.floating_base(),
+            _S=_freeze(kdp.motion_subspaces),
+            _M_links=_freeze(kdp.link_parameters.spatial_inertia()),
+            _joint_axis=_freeze(kdp.joint_model.joint_axis),
+            _lambda_H_pre=_freeze(kdp.joint_model.lambda_H_pre),
+            _suc_H_i=_freeze(kdp.joint_model.suc_H_i),
+            _contact_point=_freeze(cp.point[jnp.array(idx, dtype=int)])
+            if len(idx)
+            else (),
+        )
+
+    def params(self) -> dict[str, jtp.Array]:
+        """Numeric model arrays as a pytree: embedded constants under XLA,
+        or VMEM kernel inputs under Pallas."""
+        return dict(
+            S=jnp.asarray(np.asarray(self._S), dtype=float),
+            M=jnp.asarray(np.asarray(self._M_links), dtype=float),
+            axis=jnp.asarray(np.asarray(self._joint_axis), dtype=float),
+            lamH=jnp.asarray(np.asarray(self._lambda_H_pre), dtype=float),
+            sucH=jnp.asarray(np.asarray(self._suc_H_i), dtype=float),
+            cpoint=jnp.asarray(np.asarray(self._contact_point), dtype=float)
+            if self.n_points
+            else jnp.zeros((0, 3)),
         )
 
     # ----- state conversion -----
@@ -263,7 +366,6 @@ class BatchedEngine:
         """BatchedState → batched JaxSimModelData (recomputes caches)."""
         import jaxsim_tpu.api as js
 
-        B = state.p.shape[-1]
         T = lambda a: jnp.moveaxis(a, -1, 0)
         data = jax.vmap(
             lambda p, q, s, v, sd: js.JaxSimModelData.build(
@@ -282,7 +384,9 @@ class BatchedEngine:
             contact_state={"tangential_deformation": jnp.moveaxis(state.m, -1, 0)},
         )
 
-    def init_state(self, B: int, *, base_position=(0.0, 0.0, 0.9), key=None) -> BatchedState:
+    def init_state(
+        self, B: int, *, base_position=(0.0, 0.0, 0.9), key=None
+    ) -> BatchedState:
         p0 = jnp.tile(jnp.asarray(base_position, dtype=float)[:, None], (1, B))
         if key is not None:
             p0 = p0 + 0.01 * jax.random.normal(key, (3, B))
@@ -298,66 +402,57 @@ class BatchedEngine:
 
     # ----- kinematics -----
 
-    def _relative_transforms(self, s):
-        """Per-joint (R, p) child←parent inverse transforms... returns the
-        forward parent→child pairs (λ_R_i, λ_p_i) for i = 1..nL-1."""
-        n = self.n_joints
+    def _relative_transforms(self, s, pr):
+        """Forward parent→child (R, p) pairs per joint i = 1..nL-1."""
         out_R, out_p = [], []
-        for j in range(1, n + 1):
-            lamH = np.asarray(self.lambda_H_pre[j])
-            sucH = np.asarray(self.suc_H_i[j])
-            axis = np.asarray(self.joint_axis[j - 1])
+        for j in range(1, self.n_joints + 1):
+            lamH = pr["lamH"][j]
+            sucH = pr["sucH"][j]
             jt = self.joint_types[j]
-            th = s[j - 1]  # (*batch,)
+            th = s[j - 1]
             bshape = th.shape
-            eye3 = _const(np.eye(3), bshape)
+            eye3 = _bc(jnp.eye(3), bshape)
             if jt == 1:  # revolute: Rodrigues about the static axis
-                K = np.array(
-                    [
-                        [0, -axis[2], axis[1]],
-                        [axis[2], 0, -axis[0]],
-                        [-axis[1], axis[0], 0],
-                    ]
-                )
+                axis = pr["axis"][j - 1]
+                K = _skew3(axis, ())
                 sin, cos = jnp.sin(th), jnp.cos(th)
                 R_j = (
                     eye3
-                    + sin[None, None] * _const(K, bshape)
-                    + (1 - cos)[None, None] * _const(K @ K, bshape)
+                    + sin[None, None] * _bc(K, bshape)
+                    + (1 - cos)[None, None] * _bc(K @ K, bshape)
                 )
                 p_j = jnp.zeros((3,) + bshape)
             elif jt == 2:  # prismatic
+                axis = pr["axis"][j - 1]
                 R_j = jnp.broadcast_to(eye3, (3, 3) + bshape)
-                p_j = _const(axis, bshape) * th[None]
+                p_j = _bc(axis, bshape) * th[None]
             else:  # fixed
                 R_j = jnp.broadcast_to(eye3, (3, 3) + bshape)
                 p_j = jnp.zeros((3,) + bshape)
 
-            # λ_H_i = λ_H_pre @ pre_H_suc(s) @ suc_H_i  (static ∘ dynamic ∘ static)
+            # λ_H_i = λ_H_pre ∘ joint ∘ suc_H_i.
             R1, p1 = lamH[:3, :3], lamH[:3, 3]
             R2, p2 = sucH[:3, :3], sucH[:3, 3]
-            # A = λ_H_pre ∘ joint
-            R_a = jnp.einsum("ij,jk...->ik...", R1, R_j)
-            p_a = _const(p1, bshape) + jnp.einsum("ij,j...->i...", R1, p_j)
-            # A ∘ suc_H_i
-            R_t = jnp.einsum("ij...,jk->ik...", R_a, R2)
-            p_t = p_a + _rv(R_a, jnp.broadcast_to(_const(p2, bshape), p_a.shape))
+            R1b = _bc(R1, bshape)
+            R_a = _mm(jnp.broadcast_to(R1b, R_j.shape), R_j, 3)
+            p_a = _bc(p1, bshape) + _mv_u(jnp.broadcast_to(R1b, R_j.shape), p_j, 3)
+            R2b = jnp.broadcast_to(_bc(R2, bshape), R_a.shape)
+            R_t = _mm(R_a, R2b, 3)
+            p_t = p_a + _rv(R_a, jnp.broadcast_to(_bc(p2, bshape), p_a.shape))
             out_R.append(R_t)
             out_p.append(p_t)
         return out_R, out_p
 
-    def fk(self, state: BatchedState):
+    def fk(self, state: BatchedState, pr=None):
         """World (R, p) pose pairs + inertial 6D velocities of all links."""
+        pr = pr if pr is not None else self.params()
         bshape = state.p.shape[1:]
-        rel_R, rel_p = self._relative_transforms(state.s)
+        rel_R, rel_p = self._relative_transforms(state.s, pr)
 
         R_B = _quat_to_rot(state.q)
-        suc0 = np.asarray(self.suc_H_i[0])
-        W_R = [jnp.einsum("ij...,jk->ik...", R_B, suc0[:3, :3])]
-        W_p = [
-            state.p
-            + _rv(R_B, jnp.broadcast_to(_const(suc0[:3, 3], bshape), (3,) + bshape))
-        ]
+        suc0 = pr["sucH"][0]
+        W_R = [_mm(R_B, _bmat(suc0[:3, :3], 3, 3, bshape), 3)]
+        W_p = [state.p + _rv(R_B, _bvec(suc0[:3, 3], 3, bshape))]
         W_v = [state.v if self.floating_base else jnp.zeros((6,) + bshape)]
 
         for i in range(1, self.n_links):
@@ -367,11 +462,10 @@ class BatchedEngine:
             pi = pl + _rv(Rl, rel_p[i - 1])
             W_R.append(Ri)
             W_p.append(pi)
-            # Inertial velocity: v_i = v_λ + Ad(W_H_i)(S_i ṡ_i).
-            S = np.asarray(self.S[i])
+            S = pr["S"][i]
             sdi = state.sd[i - 1]
-            Sl = _const(S[0:3], bshape) * sdi[None]
-            Sa = _const(S[3:6], bshape) * sdi[None]
+            Sl = jnp.stack([S[k] * sdi for k in range(3)])
+            Sa = jnp.stack([S[k + 3] * sdi for k in range(3)])
             RSa = _rv(Ri, Sa)
             dv = jnp.concatenate([_rv(Ri, Sl) + _cross(pi, RSa), RSa])
             W_v.append(W_v[lam] + dv)
@@ -379,21 +473,20 @@ class BatchedEngine:
 
     # ----- contacts -----
 
-    def soft_contact_forces(self, W_R, W_p, W_v, m):
-        """Hunt/Crossley per point; returns per-link 6D inertial forces
-        (list of (6,B)) and ṁ (nC,3,B). Flat terrain only (z = 0)."""
-        nC = self.n_points
+    def soft_contact_forces(self, W_R, W_p, W_v, m, pr=None):
+        """Hunt/Crossley per point; per-link 6D inertial forces (list of
+        (6,*b) or None) and ṁ (nC,3,*b). Flat terrain z = 0."""
+        pr = pr if pr is not None else self.params()
         bshape = W_p[0].shape[1:]
         f_links = [None] * self.n_links
         md_list = []
-        eps = jnp.finfo(W_p[0].dtype).eps
+        eps = jnp.finfo(jnp.float32).eps
 
-        for c in range(nC):
+        for c in range(self.n_points):
             parent = self.contact_parent[c]
-            Lp = np.asarray(self.contact_point[c])
+            Lp = pr["cpoint"][c]
             Rp, pp, vp = W_R[parent], W_p[parent], W_v[parent]
-            pc = _rv(Rp, jnp.broadcast_to(_const(Lp, bshape), (3,) + bshape)) + pp
-            # Mixed point velocity: v_lin + ω × p.
+            pc = _rv(Rp, _bvec(Lp, 3, bshape)) + pp
             pd = vp[0:3] + _cross(vp[3:6], pc)
 
             delta = jnp.maximum(0.0, -pc[2])
@@ -401,17 +494,21 @@ class BatchedEngine:
 
             dp = jnp.power(delta + eps, self.hc_p)
             dq = jnp.power(delta + eps, self.hc_q)
-            fn_mag = jnp.maximum(0.0, (self.K * dp) * delta + (self.D * dq) * delta_dot)
+            fn_mag = jnp.maximum(
+                0.0, (self.K * dp) * delta + (self.D * dq) * delta_dot
+            )
 
-            # n̂ = ez: tangential components are the xy plane.
-            v_t = pd.at[2].set(0.0)
+            zb = jnp.zeros_like(pd[0])
+            v_t = jnp.stack([pd[0], pd[1], zb])
             mc = m[c]
-            m_n = mc.at[0:2].set(0.0)
-            m_t = mc.at[2].set(0.0)
+            m_n = jnp.stack([zb, zb, mc[2]])
+            m_t = jnp.stack([mc[0], mc[1], zb])
 
             f_t = -((self.K * dp) * m_t + (self.D * dq) * v_t)
             f_t_sq = jnp.sum(f_t * f_t, axis=0)
-            sticking = jnp.logical_or(delta <= 0, f_t_sq <= (self.mu * fn_mag) ** 2)
+            sticking = jnp.logical_or(
+                delta <= 0, f_t_sq <= (self.mu * fn_mag) ** 2
+            )
             norm = jnp.sqrt(jnp.maximum(f_t_sq, eps**2))
             scale = jnp.minimum(self.mu * fn_mag, norm) / norm
             f_t = jnp.where(sticking, f_t, f_t * scale)
@@ -421,40 +518,39 @@ class BatchedEngine:
             md_st = v_t - (self.K / self.D) * m_n
             md_sl = -(f_t + (self.K * dp) * m_t) / (self.D * dq)
             status = sticking.astype(int) + (delta <= 0).astype(int)
-            md = jnp.where(status == 0, md_sl, jnp.where(status == 1, md_st, md_nc))
+            md = jnp.where(
+                status == 0, md_sl, jnp.where(status == 1, md_st, md_nc)
+            )
             md_list.append(md)
 
-            f_lin = f_t.at[2].add(fn_mag)
+            f_lin = jnp.stack([f_t[0], f_t[1], f_t[2] + fn_mag])
             f6 = jnp.concatenate([f_lin, _cross(pc, f_lin)])
-            f_links[parent] = f6 if f_links[parent] is None else f_links[parent] + f6
+            f_links[parent] = (
+                f6 if f_links[parent] is None else f_links[parent] + f6
+            )
 
         md_all = jnp.stack(md_list) if md_list else jnp.zeros_like(m)
         return f_links, md_all
 
     # ----- dynamics -----
 
-    def aba(self, state: BatchedState, W_R, W_p, W_v, f_ext, tau):
-        """Articulated-Body Algorithm, trailing-batch, unrolled tree.
-
-        ``f_ext``: per-link inertial 6D forces or None entries; ``tau``:
-        (n, B). Returns (a_base_inertial (6,B), sdd (n,B)).
-        """
+    def aba(self, state: BatchedState, W_R, W_p, W_v, f_ext, tau, pr=None):
+        """Articulated-Body Algorithm, trailing-batch, unrolled tree."""
+        pr = pr if pr is not None else self.params()
         nL = self.n_links
         bshape = state.p.shape[1:]
-        rel_R, rel_p = self._relative_transforms(state.s)
-        g6 = jnp.zeros((6,) + bshape).at[2].set(self.gravity_z)
+        rel_R, rel_p = self._relative_transforms(state.s, pr)
+        zb = jnp.zeros(bshape)
+        g6 = jnp.stack([zb, zb, jnp.full(bshape, self.gravity_z), zb, zb, zb])
 
-        # i_X_λ inverse pairs: child←parent = inverse of (rel_R, rel_p).
         inv_R = [None] * nL
         inv_p = [None] * nL
         for i in range(1, nL):
             inv_R[i], inv_p[i] = _inv_rp(rel_R[i - 1], rel_p[i - 1])
 
-        # Base pose pair (world→base-link inverse for velocities).
         R0, p0 = W_R[0], W_p[0]
         R0_inv, p0_inv = _inv_rp(R0, p0)
 
-        # Pass 1: body-frame velocities + bias + external forces.
         v = [None] * nL
         c = [None] * nL
         pA = [None] * nL
@@ -464,66 +560,85 @@ class BatchedEngine:
         else:
             v[0] = jnp.zeros((6,) + bshape)
 
-        MA[0] = jnp.broadcast_to(
-            _const(self.M_links[0], bshape), (6, 6) + bshape
-        )
+        MA[0] = _bmat(pr["M"][0], 6, 6, bshape)
         pA[0] = _vxstar_Mv(v[0], MA[0])
         if f_ext[0] is not None:
             pA[0] = pA[0] - _xtf(R0, p0, f_ext[0])
 
         for i in range(1, nL):
             lam = self.lam[i]
-            S = np.asarray(self.S[i])
-            vJ = _const(S, bshape) * state.sd[i - 1][None]
+            vJ = _bc(pr["S"][i], bshape) * state.sd[i - 1][None]  # noqa: E501
             v[i] = _xv(inv_R[i], inv_p[i], v[lam]) + vJ
             c[i] = _vx(v[i], vJ)
-            MA[i] = jnp.broadcast_to(
-                _const(self.M_links[i], bshape), (6, 6) + bshape
-            )
+            MA[i] = jnp.broadcast_to(_bc(pr["M"][i], bshape), (6, 6) + bshape)
             pA[i] = _vxstar_Mv(v[i], MA[i])
             if f_ext[i] is not None:
-                # Transform the inertial force into frame i: Xᵀ with the
-                # world→i pair.
                 pA[i] = pA[i] - _xtf(W_R[i], W_p[i], f_ext[i])
 
-        # Pass 2 (backward).
         U = [None] * nL
         d = [None] * nL
         u = [None] * nL
         for i in range(nL - 1, 0, -1):
             lam = self.lam[i]
-            S = jnp.asarray(np.asarray(self.S[i]))
-            U[i] = jnp.einsum("ij...,j->i...", MA[i], S)
-            d[i] = jnp.einsum("i,i...->...", S, U[i])
-            u[i] = tau[i - 1] - jnp.einsum("i,i...->...", S, pA[i])
-            Ma = MA[i] - jnp.einsum("i...,j...->ij...", U[i], U[i]) / d[i]
-            pa = pA[i] + jnp.einsum("ij...,j...->i...", Ma, c[i]) + U[i] * (
-                u[i] / d[i]
-            )
-            if lam != 0 or self.floating_base:
-                # MA[λ] += Xᵀ Ma X with X = i_X_λ (from the inverse pair).
-                X = _build_X(inv_R[i], inv_p[i])
-                MA[lam] = MA[lam] + jnp.einsum(
-                    "ji...,jk...,kl...->il...", X, Ma, X
+            S = pr["S"][i]
+            if not _MOSAIC:
+                U[i] = jnp.einsum("ij...,j->i...", MA[i], S)
+                d[i] = jnp.einsum("i,i...->...", S, U[i])
+                u[i] = tau[i - 1] - jnp.einsum("i,i...->...", S, pA[i])
+                inv_d = 1.0 / d[i]
+                Ma = MA[i] - jnp.einsum("i...,j...->ij...", U[i], U[i]) * inv_d
+            else:
+                U[i] = jnp.stack(
+                    [sum(MA[i][a, j] * S[j] for j in range(6)) for a in range(6)]
                 )
-                pA[lam] = pA[lam] + jnp.einsum("ji...,j...->i...", X, pa)
+                d[i] = sum(S[j] * U[i][j] for j in range(6))
+                u[i] = tau[i - 1] - sum(S[j] * pA[i][j] for j in range(6))
+                inv_d = 1.0 / d[i]
+                Ma = MA[i] - jnp.stack(
+                    [
+                        jnp.stack([U[i][a] * U[i][b] * inv_d for b in range(6)])
+                        for a in range(6)
+                    ]
+                )
+            pa = pA[i] + _mv_u(Ma, c[i], 6) + U[i] * (u[i] * inv_d)
+            if lam != 0 or self.floating_base:
+                X = _build_X(inv_R[i], inv_p[i])
+                if not _MOSAIC:
+                    MA[lam] = MA[lam] + jnp.einsum(
+                        "ji...,jk...,kl...->il...", X, Ma, X
+                    )
+                else:
+                    MaX = _mm(Ma, X, 6)
+                    MA[lam] = MA[lam] + jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    sum(X[k, a] * MaX[k, b] for k in range(6))
+                                    for b in range(6)
+                                ]
+                            )
+                            for a in range(6)
+                        ]
+                    )
+                pA[lam] = pA[lam] + _mtv_u(X, pa, 6)
 
-        # Base acceleration.
         if self.floating_base:
             a0 = _chol6_solve(MA[0], -pA[0])
         else:
             a0 = -_xv(R0_inv, p0_inv, g6)
 
-        # Pass 3 (forward).
         a = [None] * nL
         a[0] = a0
         sdd = [None] * self.n_joints
         for i in range(1, nL):
             lam = self.lam[i]
             a_i = _xv(inv_R[i], inv_p[i], a[lam]) + c[i]
-            sdd_i = (u[i] - jnp.einsum("i...,i...->...", U[i], a_i)) / d[i]
+            if not _MOSAIC:
+                sdd_i = (u[i] - jnp.einsum("i...,i...->...", U[i], a_i)) / d[i]
+            else:
+                sdd_i = (u[i] - sum(U[i][j] * a_i[j] for j in range(6))) / d[i]
             sdd[i - 1] = sdd_i
-            a[i] = a_i + _const(self.S[i], bshape) * sdd_i[None]
+            a[i] = a_i + jnp.stack([pr["S"][i][k] * sdd_i for k in range(6)])
 
         if self.floating_base:
             W_a = _xv(R0, p0, a0) + g6
@@ -533,18 +648,21 @@ class BatchedEngine:
 
     # ----- the step -----
 
-    def step(self, state: BatchedState, tau: jtp.Array | None = None) -> BatchedState:
+    def step(
+        self, state: BatchedState, tau: jtp.Array | None = None, pr=None
+    ) -> BatchedState:
         """One semi-implicit Euler step with soft contacts (trailing batch)."""
+        pr = pr if pr is not None else self.params()
         bshape = state.p.shape[1:]
         tau = tau if tau is not None else jnp.zeros((self.n_joints,) + bshape)
 
-        W_R, W_p, W_v = self.fk(state)
+        W_R, W_p, W_v = self.fk(state, pr)
         if self.n_points > 0:
-            f_links, md = self.soft_contact_forces(W_R, W_p, W_v, state.m)
+            f_links, md = self.soft_contact_forces(W_R, W_p, W_v, state.m, pr)
         else:
             f_links, md = [None] * self.n_links, jnp.zeros_like(state.m)
 
-        W_a, sdd = self.aba(state, W_R, W_p, W_v, f_links, tau)
+        W_a, sdd = self.aba(state, W_R, W_p, W_v, f_links, tau, pr)
 
         dt = self.dt
         v_new = state.v + dt * W_a
@@ -554,7 +672,6 @@ class BatchedEngine:
         pd = v_new[0:3] + _cross(omega, state.p)
         p_new = state.p + dt * pd
 
-        # Quaternion derivative (inertial ω) + normalization.
         qw, qx, qy, qz = state.q[0], state.q[1], state.q[2], state.q[3]
         ox, oy, oz = omega[0], omega[1], omega[2]
         qd = 0.5 * jnp.stack(
@@ -566,7 +683,9 @@ class BatchedEngine:
             ]
         )
         q_new = state.q + dt * qd
-        q_new = q_new / jnp.sqrt(jnp.maximum(jnp.sum(q_new * q_new, axis=0), 1e-12))
+        q_new = q_new / jnp.sqrt(
+            jnp.maximum(jnp.sum(q_new * q_new, axis=0), 1e-12)
+        )
 
         return BatchedState(
             s=state.s + dt * sd_new,
@@ -577,39 +696,38 @@ class BatchedEngine:
             m=state.m + dt * md,
         )
 
-    def rollout(self, state: BatchedState, n_steps: int, policy=None) -> BatchedState:
-        """On-device lax.scan rollout; ``policy(state) -> (n, B)`` torques."""
+    def rollout(
+        self, state: BatchedState, n_steps: int, policy=None
+    ) -> BatchedState:
+        """On-device lax.scan rollout; ``policy(state) -> (n, *b)`` torques."""
         policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
+        pr = self.params()
 
         def body(st, _):
-            return self.step(st, policy(st)), None
+            return self.step(st, policy(st), pr), None
 
         out, _ = jax.lax.scan(body, state, None, length=n_steps)
         return out
 
 
-def _np_tuple(a):
-    return _freeze(np.asarray(a))
-
-
-def _freeze(a: np.ndarray):
+def _freeze(a) -> tuple:
     """Nested tuples (hashable static payload) preserving shape."""
+    a = np.asarray(a)
     if a.ndim == 0:
         return float(a)
     return tuple(_freeze(x) for x in a)
 
 
 def _vx(v, w):
-    """Motion cross product ν × w for (6,B): [[ω̂, v̂],[0, ω̂]] w."""
+    """Motion cross product ν × w: [[ω̂, v̂],[0, ω̂]] w."""
     vl, va = v[0:3], v[3:6]
     wl, wa = w[0:3], w[3:6]
     return jnp.concatenate([_cross(va, wl) + _cross(vl, wa), _cross(va, wa)])
 
 
 def _vxstar_Mv(v, M):
-    """ν×* (M ν) for (6,B) and (6,6,B)."""
-    Mv = jnp.einsum("ij...,j...->i...", M, v)
+    """ν×* (M ν): [ω×f_l ; v×f_l + ω×f_a] with f = M ν."""
+    Mv = _mv_u(M, v, 6)
     vl, va = v[0:3], v[3:6]
     fl, fa = Mv[0:3], Mv[3:6]
-    # ν×* f = [[ω̂, 0],[v̂, ω̂]] f = [ω×f_l ; v×f_l + ω×f_a]
     return jnp.concatenate([_cross(va, fl), _cross(vl, fl) + _cross(va, fa)])

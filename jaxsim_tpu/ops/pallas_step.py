@@ -1,0 +1,147 @@
+"""Fused Pallas step kernel — the whole simulation step in VMEM.
+
+North-star design (BASELINE.json): FK + soft contacts + the 3-pass ABA +
+semi-implicit Euler fused into a single on-chip kernel so an env-batch tile
+advances without HBM round-trips between stages. The kernel body reuses the
+batch-minor engine's math (:mod:`jaxsim_tpu.ops.batched_engine`) — plain jnp
+expressions over ``(8, 128)``-shaped batch tiles, each mapping to one VPU
+register — with the grid iterating over batch tiles.
+
+The Pallas path is forward-only (no autodiff through ``pallas_call`` here);
+gradient workloads use the XLA engine path, which is numerically identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .batched_engine import BatchedEngine, BatchedState, set_mosaic_mode
+
+# Batch tile: 8 sublanes × 128 lanes = 1024 envs per grid step.
+TILE_SUB = 8
+TILE_LANE = 128
+TILE_ENVS = TILE_SUB * TILE_LANE
+
+
+def _step_kernel(engine: BatchedEngine, policy,
+                 s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
+                 S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
+                 s_out, sd_out, p_out, q_out, v_out, m_out):
+    state = BatchedState(
+        s=s_ref[:],
+        sd=sd_ref[:],
+        p=p_ref[:],
+        q=q_ref[:],
+        v=v_ref[:],
+        m=m_ref[:],
+    )
+    pr = dict(
+        S=S_ref[:],
+        M=M_ref[:],
+        axis=axis_ref[:],
+        lamH=lamH_ref[:],
+        sucH=sucH_ref[:],
+        cpoint=cpoint_ref[:],
+    )
+    tau = policy(state)
+    set_mosaic_mode(True)
+    try:
+        new = engine.step(state, tau, pr)
+    finally:
+        set_mosaic_mode(False)
+    s_out[:] = new.s
+    sd_out[:] = new.sd
+    p_out[:] = new.p
+    q_out[:] = new.q
+    v_out[:] = new.v
+    m_out[:] = new.m
+
+
+def build_pallas_step(engine: BatchedEngine, policy=None):
+    """Return a jittable ``state -> state`` where every leaf has batch shape
+    ``(B1, 128)`` with ``B1`` a multiple of 8 (B = B1 · 128 envs)."""
+    policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
+    n, nC = engine.n_joints, engine.n_points
+
+    kernel = functools.partial(_step_kernel, engine, policy)
+
+    def step(state: BatchedState) -> BatchedState:
+        B1 = state.p.shape[-2]
+        assert B1 % TILE_SUB == 0, f"batch rows {B1} not a multiple of {TILE_SUB}"
+        grid = (B1 // TILE_SUB,)
+
+        def spec(lead: tuple[int, ...]):
+            nlead = len(lead)
+            return pl.BlockSpec(
+                lead + (TILE_SUB, TILE_LANE),
+                (lambda i, _n=nlead: (0,) * _n + (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+
+        state_specs = [
+            spec((n,)),  # s
+            spec((n,)),  # sd
+            spec((3,)),  # p
+            spec((4,)),  # q
+            spec((6,)),  # v
+            spec((nC, 3)),  # m
+        ]
+        pr = engine.params()
+
+        def full_spec(a):
+            nd = a.ndim
+            return pl.BlockSpec(
+                a.shape, (lambda i, _n=nd: (0,) * _n), memory_space=pltpu.VMEM
+            )
+
+        param_order = ["S", "M", "axis", "lamH", "sucH", "cpoint"]
+        param_specs = [full_spec(pr[k]) for k in param_order]
+        out_shapes = [
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (state.s, state.sd, state.p, state.q, state.v, state.m)
+        ]
+
+        s, sd, p, q, v, m = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=state_specs + param_specs,
+            out_specs=tuple(state_specs),
+            out_shape=tuple(out_shapes),
+        )(
+            state.s, state.sd, state.p, state.q, state.v, state.m,
+            *[pr[k] for k in param_order],
+        )
+        return BatchedState(s=s, sd=sd, p=p, q=q, v=v, m=m)
+
+    return step
+
+
+def pallas_rollout(engine: BatchedEngine, state: BatchedState, n_steps: int, policy=None):
+    """lax.scan rollout over the fused kernel."""
+    step = build_pallas_step(engine, policy)
+
+    def body(st, _):
+        return step(st), None
+
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out
+
+
+def tile_state(state: BatchedState) -> BatchedState:
+    """Reshape a trailing-(B,) state into the (B1, 128) layout."""
+    def rs(a):
+        assert a.shape[-1] % TILE_LANE == 0
+        return a.reshape(a.shape[:-1] + (a.shape[-1] // TILE_LANE, TILE_LANE))
+
+    return jax.tree.map(rs, state)
+
+
+def untile_state(state: BatchedState) -> BatchedState:
+    return jax.tree.map(
+        lambda a: a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],)), state
+    )

@@ -11,17 +11,23 @@ from tests.conftest import assert_allclose
 
 
 def rollout(model, data, n_steps, tau_fn=None, forces_fn=None):
-    step = jax.jit(
-        lambda m, d: js.model.step(
-            m,
-            d,
-            joint_force_references=tau_fn(d) if tau_fn else None,
-            link_forces=forces_fn(d) if forces_fn else None,
-        )
-    )
-    for _ in range(n_steps):
-        data = step(model, data)
-    return data
+    @jax.jit
+    def run(data):
+        def body(d, _):
+            return (
+                js.model.step(
+                    model,
+                    d,
+                    joint_force_references=tau_fn(d) if tau_fn else None,
+                    link_forces=forces_fn(d) if forces_fn else None,
+                ),
+                None,
+            )
+
+        out, _ = jax.lax.scan(body, data, None, length=n_steps)
+        return out
+
+    return run(data)
 
 
 def test_box_hovering_under_exact_counterforce():

@@ -29,7 +29,8 @@ def main() -> None:
     from jaxsim_tpu.ops.batched_engine import BatchedEngine
     from jaxsim_tpu.parallel import make_env_mesh, shard_data_batch
 
-    use_vmap_path = os.environ.get("BENCH_PATH", "batched") == "vmap"
+    bench_path = os.environ.get("BENCH_PATH", "pallas")  # pallas|batched|vmap
+    use_vmap_path = bench_path == "vmap"
 
     model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
     params = js.contact.estimate_good_contact_parameters(
@@ -72,39 +73,60 @@ def main() -> None:
 
         out_leaf = lambda o: o.base_position
     else:
+        from jaxsim_tpu.ops import pallas_step as ps
+
         eng = BatchedEngine.build(model)
         state = eng.init_state(batch_size, key=jax.random.PRNGKey(0))
+
+        if bench_path == "pallas":
+            state = ps.tile_state(state)
+
         if n_dev > 1:
             # Shard the TRAILING env axis over the mesh.
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             mesh = make_env_mesh()
-            state = jax.tree.map(
-                lambda a: jax.device_put(
-                    a,
-                    NamedSharding(mesh, P(*([None] * (a.ndim - 1) + ["env"]))),
-                ),
-                state,
-            )
+            shard_axis = -2 if bench_path == "pallas" else -1
+            def put(a):
+                spec = [None] * a.ndim
+                spec[shard_axis % a.ndim] = "env"
+                return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+            state = jax.tree.map(put, state)
         data0 = state
 
-        @jax.jit
-        def run(st):
-            return eng.rollout(st, n_steps)
+        if bench_path == "pallas":
+            run = jax.jit(lambda st: ps.pallas_rollout(eng, st, n_steps))
+        else:
+            run = jax.jit(lambda st: eng.rollout(st, n_steps))
 
         out_leaf = lambda o: o.p
+
+        if bench_path == "pallas":
+            # Fall back to the XLA engine if the fused kernel fails to
+            # compile in this environment.
+            try:
+                test_out = run(data0)
+                jax.block_until_ready(out_leaf(test_out))
+            except Exception as e:  # noqa: BLE001
+                print(f"# pallas path failed ({type(e).__name__}); falling back", file=sys.stderr)
+                bench_path = "batched"
+                state = eng.init_state(batch_size, key=jax.random.PRNGKey(0))
+                data0 = state
+                run = jax.jit(lambda st: eng.rollout(st, n_steps))
 
     # Warmup (compile).
     out = run(data0)
     jax.block_until_ready(out_leaf(out))
 
-    # Timed runs.
-    t0 = time.perf_counter()
-    reps = 3
+    # Timed runs, blocking each call (async-dispatch-proof timing).
+    times = []
+    reps = 5
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = run(out)
-    jax.block_until_ready(out_leaf(out))
-    dt_s = (time.perf_counter() - t0) / reps
+        jax.block_until_ready(out_leaf(out))
+        times.append(time.perf_counter() - t0)
+    dt_s = sorted(times)[reps // 2]
 
     env_steps_per_s = batch_size * n_steps / dt_s
     p50_step_ms = dt_s / n_steps * 1e3
@@ -119,7 +141,7 @@ def main() -> None:
             "steps_per_call": n_steps,
             "batch_step_ms": round(p50_step_ms, 3),
             "devices": n_dev,
-            "path": "vmap" if use_vmap_path else "batched_engine",
+            "path": bench_path if not use_vmap_path else "vmap",
             "finite": bool(jnp.all(jnp.isfinite(out_leaf(out))).item()),
         },
     }

@@ -411,34 +411,43 @@ class BatchedEngine:
             jt = self.joint_types[j]
             th = s[j - 1]
             bshape = th.shape
-            eye3 = _bc(jnp.eye(3), bshape)
             if jt == 1:  # revolute: Rodrigues about the static axis
                 axis = pr["axis"][j - 1]
                 K = _skew3(axis, ())
+                K2 = K @ K
                 sin, cos = jnp.sin(th), jnp.cos(th)
-                R_j = (
-                    eye3
-                    + sin[None, None] * _bc(K, bshape)
-                    + (1 - cos)[None, None] * _bc(K @ K, bshape)
+                eye_np = jnp.eye(3)
+                # Scalar splats per component (Mosaic-safe, fuses under XLA).
+                R_j = jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                eye_np[r, c2]
+                                + sin * K[r, c2]
+                                + (1 - cos) * K2[r, c2]
+                                for c2 in range(3)
+                            ]
+                        )
+                        for r in range(3)
+                    ]
                 )
                 p_j = jnp.zeros((3,) + bshape)
             elif jt == 2:  # prismatic
                 axis = pr["axis"][j - 1]
-                R_j = jnp.broadcast_to(eye3, (3, 3) + bshape)
-                p_j = _bc(axis, bshape) * th[None]
+                R_j = _bmat(jnp.eye(3), 3, 3, bshape)
+                p_j = jnp.stack([axis[r] * th for r in range(3)])
             else:  # fixed
-                R_j = jnp.broadcast_to(eye3, (3, 3) + bshape)
+                R_j = _bmat(jnp.eye(3), 3, 3, bshape)
                 p_j = jnp.zeros((3,) + bshape)
 
             # λ_H_i = λ_H_pre ∘ joint ∘ suc_H_i.
             R1, p1 = lamH[:3, :3], lamH[:3, 3]
             R2, p2 = sucH[:3, :3], sucH[:3, 3]
-            R1b = _bc(R1, bshape)
-            R_a = _mm(jnp.broadcast_to(R1b, R_j.shape), R_j, 3)
-            p_a = _bc(p1, bshape) + _mv_u(jnp.broadcast_to(R1b, R_j.shape), p_j, 3)
-            R2b = jnp.broadcast_to(_bc(R2, bshape), R_a.shape)
-            R_t = _mm(R_a, R2b, 3)
-            p_t = p_a + _rv(R_a, jnp.broadcast_to(_bc(p2, bshape), p_a.shape))
+            R1b = _bmat(R1, 3, 3, bshape)
+            R_a = _mm(R1b, R_j, 3)
+            p_a = _bvec(p1, 3, bshape) + _mv_u(R1b, p_j, 3)
+            R_t = _mm(R_a, _bmat(R2, 3, 3, bshape), 3)
+            p_t = p_a + _rv(R_a, _bvec(p2, 3, bshape))
             out_R.append(R_t)
             out_p.append(p_t)
         return out_R, out_p
@@ -567,10 +576,11 @@ class BatchedEngine:
 
         for i in range(1, nL):
             lam = self.lam[i]
-            vJ = _bc(pr["S"][i], bshape) * state.sd[i - 1][None]  # noqa: E501
+            sdi = state.sd[i - 1]
+            vJ = jnp.stack([pr["S"][i][k] * sdi for k in range(6)])
             v[i] = _xv(inv_R[i], inv_p[i], v[lam]) + vJ
             c[i] = _vx(v[i], vJ)
-            MA[i] = jnp.broadcast_to(_bc(pr["M"][i], bshape), (6, 6) + bshape)
+            MA[i] = _bmat(pr["M"][i], 6, 6, bshape)
             pA[i] = _vxstar_Mv(v[i], MA[i])
             if f_ext[i] is not None:
                 pA[i] = pA[i] - _xtf(W_R[i], W_p[i], f_ext[i])

@@ -81,3 +81,48 @@ def test_sharded_matches_single_device(model):
     np.testing.assert_allclose(
         np.asarray(out1.p), np.asarray(out2.p), rtol=1e-5, atol=1e-6
     )
+
+
+def test_rk4_relaxed_rigid_sharded(model):
+    """BASELINE config 5: relaxed-rigid contacts + RK4, heterogeneous env
+    batch sharded over the mesh."""
+    from jaxsim_tpu.ops.contacts import (
+        RelaxedRigidContacts,
+        RelaxedRigidContactsParams,
+    )
+
+    m = js.JaxSimModel.build_from_model_description(
+        models.build_humanoid_urdf(),
+        contact_model=RelaxedRigidContacts(),
+        contact_params=RelaxedRigidContactsParams.build(),
+        integrator=js.IntegratorType.RungeKutta4,
+        time_step=5e-4,
+    )
+    B = 8
+    mesh = make_env_mesh()
+    # Heterogeneous: randomized poses and joint configurations per env.
+    batch = jax.vmap(
+        lambda k: js.JaxSimModelData.build(
+            m,
+            base_position=jnp.array([0.0, 0.0, 0.9])
+            + 0.05 * jax.random.normal(k, (3,)),
+            joint_positions=0.2 * jax.random.normal(k, (23,)),
+        )
+    )(jax.random.split(jax.random.PRNGKey(7), B))
+    batch = shard_data_batch(batch, mesh)
+
+    step = jax.jit(
+        jax.vmap(
+            lambda d: js.model.step(
+                m,
+                d,
+                joint_force_references=-60.0 * d.joint_positions
+                - 0.5 * d.joint_velocities,
+            )
+        )
+    )
+    out = batch
+    for _ in range(3):
+        out = step(out)
+    assert np.all(np.isfinite(np.asarray(out.base_position)))
+    assert len(out.base_position.sharding.device_set) == 8

@@ -42,6 +42,11 @@ def in_contact(model, data) -> jtp.Vector:
     return W_p_C[:, 2] <= terrain_height
 
 
+def estimate_good_soft_contacts_parameters(model, **kwargs):
+    """Deprecated alias of :func:`estimate_good_contact_parameters`."""
+    return estimate_good_contact_parameters(model, **kwargs)
+
+
 def estimate_good_contact_parameters(model, **kwargs):
     """Default contact parameters from the model mass
     (reference ``contact.py:160-211``)."""

@@ -251,6 +251,27 @@ class JaxSimModelData(ModelDataWithVelocityRepresentation):
             is_force=False,
         )
 
+    def reset_base_pose(
+        self, model, *, base_position=None, base_quaternion=None
+    ) -> "JaxSimModelData":
+        """Functional reset of the base pose (reference ``api/data.py``)."""
+        updates = {}
+        if base_position is not None:
+            updates["base_position"] = jnp.asarray(base_position, dtype=float)
+        if base_quaternion is not None:
+            updates["base_quaternion"] = Quaternion.normalize(
+                jnp.asarray(base_quaternion, dtype=float)
+            )
+        return self.replace(model=model, **updates)
+
+    def reset_base_quaternion(self, model, base_quaternion) -> "JaxSimModelData":
+        return self.reset_base_pose(model, base_quaternion=base_quaternion)
+
+    def reset_joint_positions(self, model, positions) -> "JaxSimModelData":
+        return self.replace(
+            model=model, joint_positions=jnp.asarray(positions, dtype=float)
+        )
+
     # ----- validity -----
 
     def valid(self, model) -> bool:

@@ -210,6 +210,10 @@ class JaxSimModel:
     def frame_names(self) -> tuple[str, ...]:
         return self.kin_dyn_parameters.frame_parameters.name
 
+    def base_link(self) -> str:
+        """Name of the base link (index 0)."""
+        return self.link_names()[0]
+
     @property
     def gravity_vector(self) -> jtp.Vector:
         """3D gravity vector (0, 0, model.gravity)."""
@@ -961,3 +965,37 @@ def link_bias_accelerations(model: JaxSimModel, data) -> jtp.Array:
     Jd = generalized_free_floating_jacobian_derivative(model, data)
     nu = data.generalized_velocity
     return jnp.einsum("lij,j->li", Jd, nu)
+
+
+@named_scope
+def forward_dynamics(
+    model: JaxSimModel,
+    data,
+    *,
+    joint_forces: jtp.VectorLike | None = None,
+    link_forces: jtp.MatrixLike | None = None,
+    prefer_aba: bool = True,
+) -> tuple[jtp.Vector, jtp.Vector]:
+    """Forward dynamics, ABA by default (reference ``api/model.py:1231``)."""
+    fn = forward_dynamics_aba if prefer_aba else forward_dynamics_crb
+    return fn(model, data, joint_forces=joint_forces, link_forces=link_forces)
+
+
+# Hardware-parametrization entry points re-exported at the reference's
+# locations (implementation in jaxsim_tpu.api.hw_parameters).
+def compute_hw_link_metadata(model: JaxSimModel):
+    from . import hw_parameters as _hw
+
+    return _hw.compute_hw_link_metadata(model)
+
+
+def update_hw_parameters(model: JaxSimModel, scaling_factors):
+    from . import hw_parameters as _hw
+
+    return _hw.update_hw_parameters(model, scaling_factors)
+
+
+def export_updated_model(model: JaxSimModel) -> str:
+    from . import hw_parameters as _hw
+
+    return _hw.export_updated_model(model)

@@ -88,6 +88,17 @@ class JaxSimModelReferences(ModelDataWithVelocityRepresentation):
             model, data, velocity_representation=velocity_representation
         )
 
+    def valid(self, model) -> bool:
+        """Shape-compatibility check (reference ``references.py``)."""
+        try:
+            return (
+                self._link_forces_inertial.shape[-2] == model.number_of_links()
+                and self._joint_force_references.shape[-1]
+                == model.number_of_joints()
+            )
+        except (AttributeError, IndexError, TypeError):
+            return False
+
     # ----- getters -----
 
     @named_scope

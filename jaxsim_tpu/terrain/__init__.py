@@ -1,1 +1,1 @@
-from .terrain import FlatTerrain, PlaneTerrain, Terrain
+from .terrain import FlatTerrain, HeightmapTerrain, PlaneTerrain, Terrain

@@ -87,3 +87,60 @@ class PlaneTerrain(FlatTerrain):
         x = jnp.asarray(x, dtype=float)
         n = jnp.asarray(self._normal, dtype=float)
         return jnp.broadcast_to(n, x.shape + (3,))
+
+
+@dataclasses.dataclass(frozen=True)
+class HeightmapTerrain(Terrain):
+    """Grid heightmap with bilinear interpolation.
+
+    Beyond the reference core (which supports heightmaps only in the MuJoCo
+    visualization layer, ``mujoco/model.py:447-482``): a fully differentiable
+    terrain usable by every contact model. The grid is a hashable static
+    payload so the terrain participates in the JIT cache key.
+    """
+
+    _grid: "object" = None  # HashedNumpyArray (ny, nx) heights
+    _extent: tuple = (-5.0, 5.0, -5.0, 5.0)  # (x0, x1, y0, y1)
+
+    @staticmethod
+    def build(
+        heights, *, extent: tuple[float, float, float, float] = (-5.0, 5.0, -5.0, 5.0)
+    ) -> "HeightmapTerrain":
+        from jaxsim_tpu.utils import HashedNumpyArray
+
+        h = np.asarray(heights, dtype=float)
+        if h.ndim != 2:
+            raise ValueError("Heightmap must be a 2D grid")
+        return HeightmapTerrain(_grid=HashedNumpyArray(h), _extent=tuple(extent))
+
+    def height(self, x, y):
+        grid = jnp.asarray(self._grid.get())
+        ny, nx = grid.shape
+        x0, x1, y0, y1 = self._extent
+        x = jnp.asarray(x, dtype=float)
+        y = jnp.asarray(y, dtype=float)
+
+        # Continuous grid coordinates, clamped to the interior.
+        gx = jnp.clip((x - x0) / (x1 - x0) * (nx - 1), 0.0, nx - 1 - 1e-6)
+        gy = jnp.clip((y - y0) / (y1 - y0) * (ny - 1), 0.0, ny - 1 - 1e-6)
+        ix = jnp.floor(gx).astype(int)
+        iy = jnp.floor(gy).astype(int)
+        fx = gx - ix
+        fy = gy - iy
+
+        h00 = grid[iy, ix]
+        h01 = grid[iy, ix + 1]
+        h10 = grid[iy + 1, ix]
+        h11 = grid[iy + 1, ix + 1]
+        return (
+            h00 * (1 - fx) * (1 - fy)
+            + h01 * fx * (1 - fy)
+            + h10 * (1 - fx) * fy
+            + h11 * fx * fy
+        )
+
+    def __hash__(self) -> int:
+        return hash((hash(self._grid), self._extent, self.delta))
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, HeightmapTerrain) and hash(self) == hash(other)

@@ -198,11 +198,13 @@ def test_ad_hw_parameters(humanoid_model):
     assert float(jnp.abs(g).max()) > 0
 
 
-def test_ad_batched_engine(humanoid_model):
-    """Reverse AD through the batch-minor engine rollout."""
+def test_ad_batched_engine():
+    """Reverse AD through the batch-minor engine rollout (small model —
+    the humanoid's unrolled reverse graph takes minutes to compile)."""
     from jaxsim_tpu.ops.batched_engine import BatchedEngine
 
-    eng = BatchedEngine.build(humanoid_model)
+    small = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(small)
     st = eng.init_state(4)
 
     def loss(kp):

@@ -121,14 +121,19 @@ def test_trajectory_equivalence(setup):
 
 
 def test_rollout_scan_and_grad(setup):
-    """lax.scan rollout runs and jax.grad flows through it."""
+    """lax.scan rollout runs; jax.grad flows through a small model's engine
+    (the humanoid's unrolled reverse graph takes minutes to compile)."""
     model, eng, datas = setup
     st = eng.state_from_data(datas)
     out = jax.jit(lambda s: eng.rollout(s, 10))(st)
     assert np.all(np.isfinite(np.asarray(out.p)))
 
+    small = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng_s = BatchedEngine.build(small)
+    st_s = eng_s.init_state(4)
+
     def loss(kp):
-        o = eng.rollout(st, 5, policy=lambda s: -kp * s.s - 0.5 * s.sd)
+        o = eng_s.rollout(st_s, 5, policy=lambda s: -kp * s.s - 0.5 * s.sd)
         return jnp.sum(o.sd**2)
 
     g = jax.jit(jax.grad(loss))(60.0)

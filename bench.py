@@ -131,6 +131,47 @@ def main() -> None:
     env_steps_per_s = batch_size * n_steps / dt_s
     p50_step_ms = dt_s / n_steps * 1e3
 
+    extra_latency = {}
+    if os.environ.get("BENCH_FULL", "0") == "1":
+        # BASELINE asks for B=1/1024 latencies too (generic step path).
+        import jaxsim_tpu.api as _js
+
+        d1 = _js.JaxSimModelData.build(model, base_position=jnp.array([0.0, 0.0, 0.9]))
+        step1 = jax.jit(
+            lambda d: _js.model.step(
+                model,
+                d,
+                joint_force_references=-60.0 * d.joint_positions
+                - 0.5 * d.joint_velocities,
+            )
+        )
+        o = step1(d1)
+        jax.block_until_ready(o.base_position)
+        ts = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            o = step1(o)
+            jax.block_until_ready(o.base_position)
+            ts.append(time.perf_counter() - t0)
+        extra_latency["step_p50_us_B1_generic"] = round(sorted(ts)[10] * 1e6, 1)
+
+        eng_small = BatchedEngine.build(model)
+        from jaxsim_tpu.ops import pallas_step as _ps
+
+        st1k = _ps.tile_state(eng_small.init_state(1024, key=jax.random.PRNGKey(2)))
+        run1k = jax.jit(lambda s: _ps.pallas_rollout(eng_small, s, 100))
+        o = run1k(st1k)
+        jax.block_until_ready(o.p)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            o = run1k(o)
+            jax.block_until_ready(o.p)
+            ts.append(time.perf_counter() - t0)
+        extra_latency["env_steps_per_sec_B1024_pallas"] = round(
+            1024 * 100 / sorted(ts)[2], 1
+        )
+
     result = {
         "metric": "env_steps_per_sec_humanoid23_softcontacts_B%d" % batch_size,
         "value": round(env_steps_per_s, 1),
@@ -143,6 +184,7 @@ def main() -> None:
             "devices": n_dev,
             "path": bench_path if not use_vmap_path else "vmap",
             "finite": bool(jnp.all(jnp.isfinite(out_leaf(out))).item()),
+            **extra_latency,
         },
     }
     print(json.dumps(result))

@@ -248,3 +248,52 @@ def test_no_retracing(humanoid_model):
     d2 = js.JaxSimModelData.build(m2)
     f(m1, d1)
     f(m2, d2)  # must not retrace
+
+
+def test_reduced_model_kinematics_match_full(humanoid_model):
+    """FK of a reduced model == FK of the full model with locked joints
+    held at the lock values (reference ``test_api_model.py:16``)."""
+    model = humanoid_model
+    legs = tuple(
+        j for j in model.joint_names() if ("hip" in j or "knee" in j or "ankle" in j)
+    )
+    locked = {j: 0.2 for j in model.joint_names() if j not in legs}
+    reduced = js.model.reduce(
+        model, considered_joints=legs, locked_joint_positions=locked
+    )
+
+    s_legs = 0.3 * jnp.ones(len(legs))
+    d_red = js.JaxSimModelData.build(
+        reduced, base_position=jnp.array([0.0, 0.0, 1.0]), joint_positions=s_legs
+    )
+
+    s_full = jnp.array(
+        [0.3 if j in legs else 0.2 for j in model.joint_names()]
+    )
+    d_full = js.JaxSimModelData.build(
+        model, base_position=jnp.array([0.0, 0.0, 1.0]), joint_positions=s_full
+    )
+
+    # Every link of the reduced model has a counterpart in the full model
+    # with an identical world pose.
+    full_names = model.link_names()
+    for i, name in enumerate(reduced.link_names()):
+        j = full_names.index(name)
+        assert_allclose(
+            d_red._link_transforms[i],
+            d_full._link_transforms[j],
+            atol=1e-5,
+            err_msg=name,
+        )
+
+    # And the reduced model simulates stably.
+    @jax.jit
+    def run(d):
+        def body(d, _):
+            return js.model.step(reduced, d), None
+
+        out, _ = jax.lax.scan(body, d, None, length=200)
+        return out
+
+    out = run(d_red)
+    assert np.all(np.isfinite(np.asarray(out.base_position)))

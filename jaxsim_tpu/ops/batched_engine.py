@@ -297,6 +297,24 @@ class BatchedEngine:
 
     @staticmethod
     def build(model) -> "BatchedEngine":
+        from jaxsim_tpu.ops.contacts.soft import SoftContacts
+        from jaxsim_tpu.terrain import FlatTerrain
+
+        # The fused hot path implements flat terrain at z = 0 and soft
+        # contacts with semi-implicit Euler; other configurations use the
+        # generic js.model.step path.
+        if type(model.terrain) is not FlatTerrain or getattr(
+            model.terrain, "_height", 0.0
+        ) != 0.0:
+            raise ValueError(
+                "BatchedEngine supports flat terrain at z=0; use the generic"
+                " js.model.step path for other terrains"
+            )
+        if not isinstance(model.contact_model, SoftContacts):
+            raise ValueError(
+                "BatchedEngine implements soft contacts; use the generic"
+                " js.model.step path for rigid/relaxed-rigid models"
+            )
         kdp = model.kin_dyn_parameters
         cp = kdp.contact_parameters
         idx = cp.indices_of_enabled_collidable_points

@@ -149,3 +149,66 @@ def test_state_data_roundtrip(setup):
     assert_allclose(
         datas2._link_transforms, datas._link_transforms, atol=1e-5
     )
+
+
+def test_engine_rejects_unsupported_configs():
+    from jaxsim_tpu.ops.contacts import RigidContacts, RigidContactsParams
+    from jaxsim_tpu.terrain import PlaneTerrain
+
+    m1 = js.JaxSimModel.build_from_model_description(
+        models.build_box_urdf(), terrain=PlaneTerrain.build(normal=(0.1, 0, 1))
+    )
+    with pytest.raises(ValueError):
+        BatchedEngine.build(m1)
+
+    m2 = js.JaxSimModel.build_from_model_description(
+        models.build_box_urdf(),
+        contact_model=RigidContacts(),
+        contact_params=RigidContactsParams.build(),
+    )
+    with pytest.raises(ValueError):
+        BatchedEngine.build(m2)
+
+
+def test_engine_fixed_base():
+    """The engine handles fixed-base models (pendulum swing matches the
+    generic path)."""
+    model = js.JaxSimModel.build_from_model_description(models.build_pendulum_urdf(2))
+    eng = BatchedEngine.build(model)
+    st = eng.init_state(2, base_position=(0.0, 0.0, 0.0))
+    st = st.replace(s=jnp.full((2, 2), 0.5))
+
+    out = jax.jit(lambda s: eng.rollout(s, 100, policy=lambda st: jnp.zeros_like(st.s)))(st)
+
+    data = js.JaxSimModelData.build(model, joint_positions=jnp.array([0.5, 0.5]))
+
+    @jax.jit
+    def run(d):
+        def body(d, _):
+            return js.model.step(model, d), None
+
+        o, _ = jax.lax.scan(body, d, None, length=100)
+        return o
+
+    ref = run(data)
+    assert_allclose(out.s[:, 0], ref.joint_positions, rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_interpret_small_model():
+    """The fused kernel matches the engine in interpreter mode (small model
+    keeps this fast on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    st = eng.init_state(1024, key=jax.random.PRNGKey(0))
+    policy = lambda s: -5.0 * s.s - 0.1 * s.sd
+    ref = eng.step(st, policy(st))
+    with pltpu.force_tpu_interpret_mode():
+        out = ps.untile_state(ps.build_pallas_step(eng, policy)(ps.tile_state(st)))
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )

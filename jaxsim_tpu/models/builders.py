@@ -37,8 +37,22 @@ def _link(
     inertia: dict,
     com: tuple = (0, 0, 0),
     collision: str = "",
+    visual: str | None = None,
 ) -> str:
     i = inertia
+    # Default visual: reuse the collision geometry; else a small marker box
+    # at the CoM so every link renders in MuJoCo.
+    if visual is None:
+        if collision:
+            visual = collision.replace("<collision>", "<visual>").replace(
+                "</collision>", "</visual>"
+            )
+        else:
+            visual = f"""
+    <visual>
+      <origin xyz="{com[0]} {com[1]} {com[2]}" rpy="0 0 0"/>
+      <geometry><box size="0.04 0.04 0.04"/></geometry>
+    </visual>"""
     return f"""
   <link name="{name}">
     <inertial>
@@ -46,7 +60,7 @@ def _link(
       <mass value="{mass}"/>
       <inertia ixx="{i["ixx"]}" ixy="{i["ixy"]}" ixz="{i["ixz"]}"
                iyy="{i["iyy"]}" iyz="{i["iyz"]}" izz="{i["izz"]}"/>
-    </inertial>{collision}
+    </inertial>{visual}{collision}
   </link>"""
 
 

@@ -159,6 +159,15 @@ class UrdfToMjcf:
 
         floating = '<link name="world"' not in text and "<link name='world'" not in text
 
+        # MuJoCo's URDF importer discards <visual> geometry unless told not
+        # to; inject the extension block if the URDF doesn't carry one.
+        if "<mujoco>" not in text:
+            text = text.replace(
+                ">",
+                '><mujoco><compiler discardvisual="false" fusestatic="false"/></mujoco>',
+                1,
+            )
+
         # Parse the URDF through MuJoCo's MjSpec (structure-preserving, no
         # static fusion) and add the freejoint programmatically.
         spec = mujoco.MjSpec.from_string(text)

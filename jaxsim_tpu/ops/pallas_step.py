@@ -145,3 +145,87 @@ def untile_state(state: BatchedState) -> BatchedState:
     return jax.tree.map(
         lambda a: a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],)), state
     )
+
+
+def _rollout_kernel(engine: BatchedEngine, policy, n_steps: int,
+                    s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
+                    S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
+                    s_out, sd_out, p_out, q_out, v_out, m_out):
+    """Whole rollout in one kernel: the env-tile state lives in registers/VMEM
+    across all ``n_steps`` — no HBM round-trips or kernel launches per step."""
+    pr = dict(
+        S=S_ref[:], M=M_ref[:], axis=axis_ref[:],
+        lamH=lamH_ref[:], sucH=sucH_ref[:], cpoint=cpoint_ref[:],
+    )
+    state0 = (s_ref[:], sd_ref[:], p_ref[:], q_ref[:], v_ref[:], m_ref[:])
+
+    set_mosaic_mode(True)
+    try:
+        def body(_, carry):
+            st = BatchedState(*carry)
+            new = engine.step(st, policy(st), pr)
+            return (new.s, new.sd, new.p, new.q, new.v, new.m)
+
+        s, sd, p, q, v, m = jax.lax.fori_loop(0, n_steps, body, state0)
+    finally:
+        set_mosaic_mode(False)
+
+    s_out[:] = s
+    sd_out[:] = sd
+    p_out[:] = p
+    q_out[:] = q
+    v_out[:] = v
+    m_out[:] = m
+
+
+def build_pallas_rollout(engine: BatchedEngine, n_steps: int, policy=None):
+    """Return a jittable ``state -> state`` advancing ``n_steps`` inside ONE
+    kernel launch per batch tile (state shapes as in build_pallas_step)."""
+    policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
+    n, nC = engine.n_joints, engine.n_points
+
+    kernel = functools.partial(_rollout_kernel, engine, policy, n_steps)
+
+    def rollout(state: BatchedState) -> BatchedState:
+        B1 = state.p.shape[-2]
+        assert B1 % TILE_SUB == 0
+        grid = (B1 // TILE_SUB,)
+
+        def spec(lead):
+            nlead = len(lead)
+            return pl.BlockSpec(
+                lead + (TILE_SUB, TILE_LANE),
+                (lambda i, _n=nlead: (0,) * _n + (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+
+        state_specs = [
+            spec((n,)), spec((n,)), spec((3,)), spec((4,)), spec((6,)),
+            spec((nC, 3)),
+        ]
+        pr = engine.params()
+
+        def full_spec(a):
+            nd = a.ndim
+            return pl.BlockSpec(
+                a.shape, (lambda i, _n=nd: (0,) * _n), memory_space=pltpu.VMEM
+            )
+
+        param_order = ["S", "M", "axis", "lamH", "sucH", "cpoint"]
+        out_shapes = [
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (state.s, state.sd, state.p, state.q, state.v, state.m)
+        ]
+        s, sd, p, q, v, m = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=state_specs + [full_spec(pr[k]) for k in param_order],
+            out_specs=tuple(state_specs),
+            out_shape=tuple(out_shapes),
+        )(
+            state.s, state.sd, state.p, state.q, state.v, state.m,
+            *[pr[k] for k in param_order],
+        )
+        return BatchedState(s=s, sd=sd, p=p, q=q, v=v, m=m)
+
+    return rollout

@@ -20,7 +20,10 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-dominated (many jitted
 # physics graphs); repeat runs hit the cache and finish in minutes.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxsim_tpu_jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np

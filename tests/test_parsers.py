@@ -1,0 +1,147 @@
+"""Parser robustness tests: SDF pose semantics, URDF edge cases
+(reference ``parsers/rod/parser.py`` behaviors)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jaxsim_tpu.api as js
+from jaxsim_tpu import models
+from jaxsim_tpu.parsers import build_model_description
+from jaxsim_tpu.parsers.kinematic_graph import KinematicGraphTransforms
+from tests.conftest import assert_allclose
+
+
+def test_sdf_relative_to_chain():
+    """Link poses given relative to other links resolve through the chain."""
+    sdf = """<sdf version="1.8"><model name="chain">
+      <link name="a"><pose>1 0 0 0 0 0</pose>
+        <inertial><mass>1</mass><inertia><ixx>.1</ixx><iyy>.1</iyy><izz>.1</izz></inertia></inertial></link>
+      <link name="b"><pose relative_to="a">0 2 0 0 0 0</pose>
+        <inertial><mass>1</mass><inertia><ixx>.1</ixx><iyy>.1</iyy><izz>.1</izz></inertia></inertial></link>
+      <joint name="j" type="revolute"><parent>a</parent><child>b</child>
+        <axis><xyz>0 0 1</xyz></axis></joint>
+    </model></sdf>"""
+    d = build_model_description(sdf)
+    fk = KinematicGraphTransforms(graph=d)
+    assert_allclose(fk.transform("a")[:3, 3], np.array([1.0, 0, 0]), atol=1e-6)
+    assert_allclose(fk.transform("b")[:3, 3], np.array([1.0, 2, 0]), atol=1e-6)
+
+
+def test_sdf_joint_pose_relative_to_joint():
+    """A joint's pose can reference another joint frame."""
+    sdf = """<sdf version="1.8"><model name="jj">
+      <link name="a"><inertial><mass>1</mass><inertia><ixx>.1</ixx><iyy>.1</iyy><izz>.1</izz></inertia></inertial></link>
+      <link name="b"><pose>0 0 1 0 0 0</pose>
+        <inertial><mass>1</mass><inertia><ixx>.1</ixx><iyy>.1</iyy><izz>.1</izz></inertia></inertial></link>
+      <link name="c"><pose>0 0 2 0 0 0</pose>
+        <inertial><mass>1</mass><inertia><ixx>.1</ixx><iyy>.1</iyy><izz>.1</izz></inertia></inertial></link>
+      <joint name="j1" type="revolute"><parent>a</parent><child>b</child>
+        <axis><xyz>0 1 0</xyz></axis></joint>
+      <joint name="j2" type="revolute"><pose relative_to="j1">0 0 1 0 0 0</pose>
+        <parent>b</parent><child>c</child><axis><xyz>0 1 0</xyz></axis></joint>
+    </model></sdf>"""
+    d = build_model_description(sdf)
+    fk = KinematicGraphTransforms(graph=d)
+    # j1 sits at b (z=1); j2 at j1 + (0,0,1) = z=2 = at c.
+    assert_allclose(fk.transform("c")[:3, 3], np.array([0.0, 0, 2]), atol=1e-6)
+
+
+def test_sdf_static_model_is_fixed_base():
+    sdf = """<sdf version="1.7"><model name="s"><static>true</static>
+      <link name="l"><inertial><mass>1</mass><inertia><ixx>.1</ixx><iyy>.1</iyy><izz>.1</izz></inertia></inertial></link>
+    </model></sdf>"""
+    d = build_model_description(sdf)
+    assert d.fixed_base
+
+
+def test_sdf_axis_expressed_in_model_frame():
+    """``expressed_in="__model__"`` rotates the axis into the joint frame."""
+    import math
+
+    # Child link (and thus the joint frame) rotated 90° about z; a +x axis
+    # expressed in the model frame becomes -y... +x_model = R_z(-90)... in
+    # joint coords: R_jm @ x = (cos,-sin) → (0,-1,0).
+    sdf = f"""<sdf version="1.8"><model name="ax">
+      <link name="a"><inertial><mass>1</mass><inertia><ixx>.1</ixx><iyy>.1</iyy><izz>.1</izz></inertia></inertial></link>
+      <link name="b"><pose>0 0 1 0 0 {math.pi / 2}</pose>
+        <inertial><mass>1</mass><inertia><ixx>.1</ixx><iyy>.1</iyy><izz>.1</izz></inertia></inertial></link>
+      <joint name="j" type="revolute"><parent>a</parent><child>b</child>
+        <axis><xyz expressed_in="__model__">1 0 0</xyz></axis></joint>
+    </model></sdf>"""
+    d = build_model_description(sdf)
+    axis = d.joints[0].axis
+    assert_allclose(axis, np.array([0.0, -1.0, 0.0]), atol=1e-6)
+
+
+def test_sdf_matches_equivalent_urdf():
+    """An SDF written in URDF conventions produces identical dynamics."""
+    urdf = models.build_pendulum_urdf(2)
+    sdf = """<sdf version="1.8"><model name="dp">
+      <link name="base"><inertial><mass>1</mass>
+        <inertia><ixx>0.001667</ixx><iyy>0.001667</iyy><izz>0.001667</izz></inertia></inertial></link>
+      <link name="link1"><inertial><pose>0 0 -0.5 0 0 0</pose><mass>1</mass>
+        <inertia><ixx>0.0834333</ixx><iyy>0.0834333</iyy><izz>0.0002</izz></inertia></inertial></link>
+      <link name="link2"><pose>0 0 -1 0 0 0</pose>
+        <inertial><pose>0 0 -0.5 0 0 0</pose><mass>1</mass>
+        <inertia><ixx>0.0834333</ixx><iyy>0.0834333</iyy><izz>0.0002</izz></inertia></inertial></link>
+      <joint name="joint1" type="revolute"><pose relative_to="link1"/>
+        <parent>base</parent><child>link1</child>
+        <axis><xyz>0 1 0</xyz><limit><lower>-6.28</lower><upper>6.28</upper></limit></axis></joint>
+      <joint name="joint2" type="revolute"><pose relative_to="link2"/>
+        <parent>link1</parent><child>link2</child>
+        <axis><xyz>0 1 0</xyz><limit><lower>-6.28</lower><upper>6.28</upper></limit></axis></joint>
+    </model></sdf>"""
+
+    m_urdf = js.JaxSimModel.build_from_model_description(urdf)
+    m_sdf = js.JaxSimModel.build_from_model_description(sdf)
+
+    from jaxsim_tpu import ops
+
+    s = jnp.array([0.4, -0.7])
+    M1 = ops.crba(m_urdf.kin_dyn_parameters, joint_positions=s)
+    M2 = ops.crba(m_sdf.kin_dyn_parameters, joint_positions=s)
+    # URDF model is fixed-base via world link; compare joint blocks.
+    assert_allclose(np.asarray(M1)[6:, 6:], np.asarray(M2)[6:, 6:], rtol=1e-3, atol=1e-4)
+
+
+def test_urdf_continuous_joint():
+    urdf = models.build_pendulum_urdf(1).replace('type="revolute"', 'type="continuous"')
+    d = build_model_description(urdf)
+    assert len(d.joints) == 1
+    lo, hi = d.joints[0].position_limit
+    assert not np.isfinite(lo) and not np.isfinite(hi)
+
+
+def test_urdf_unconnected_link_dropped():
+    urdf = models.build_pendulum_urdf(1).replace(
+        "</robot>",
+        '<link name="orphan"><inertial><mass value="1"/>'
+        '<inertia ixx="0.1" iyy="0.1" izz="0.1"/></inertial></link></robot>',
+    )
+    d = build_model_description(urdf)
+    assert "orphan" not in d.link_names()
+
+
+def test_collision_env_vars():
+    import os
+
+    os.environ["JAXSIM_COLLISION_SPHERE_POINTS"] = "10"
+    try:
+        d = build_model_description(models.build_sphere_urdf())
+        assert len(d.all_enabled_collidable_points()) == 10
+    finally:
+        del os.environ["JAXSIM_COLLISION_SPHERE_POINTS"]
+
+    os.environ["JAXSIM_COLLISION_USE_BOTTOM_ONLY"] = "1"
+    try:
+        d = build_model_description(models.build_box_urdf())
+        assert len(d.all_enabled_collidable_points()) == 4
+    finally:
+        del os.environ["JAXSIM_COLLISION_USE_BOTTOM_ONLY"]
+
+
+def test_disable_collision_points():
+    d = build_model_description(models.build_box_urdf())
+    d.update_collision_shape_of_link("box_link", enabled=False)
+    assert len(d.all_enabled_collidable_points()) == 0

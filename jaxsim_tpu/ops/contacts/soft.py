@@ -39,6 +39,19 @@ class SoftContactsParams(common.ContactsParams):
     )
 
     @classmethod
+    def build_default_from_jaxsim_model(cls, model, **kwargs):
+        """Reference estimation (``contacts/common.py:88-168``) plus a
+        stability clamp for the model's time step (see
+        :func:`_stability_clamped_defaults`)."""
+        params = super(SoftContactsParams, cls).build_default_from_jaxsim_model(
+            model, **kwargs
+        )
+        K, D = _stability_clamped_defaults(
+            model, params.K, params.D, kwargs.get("max_penetration", 0.001)
+        )
+        return params.replace(K=K, D=D)
+
+    @classmethod
     def build(cls, *, K=1e6, D=2000.0, mu=0.5, p=0.5, q=0.5, **kwargs):
         return cls(
             K=jnp.asarray(K, dtype=float),
@@ -189,3 +202,40 @@ class SoftContacts(common.ContactModel):
         if n_points == 0:
             return {}
         return {"tangential_deformation": jnp.zeros((n_points, 3))}
+
+
+def _stability_clamped_defaults(model, K, D, max_penetration):
+    """Clamp K, D so the explicit (semi-implicit Euler) integration of the
+    contact dynamics is stable at the model's time step.
+
+    The reference's estimator (``contacts/common.py:88-168``) can produce
+    K=1e6/D=1e4 defaults that blow up light links at dt=1e-3 (a humanoid
+    foot has ω·dt and c/m·dt beyond the stability region). For every link
+    owning enabled collidable points we bound:
+
+        damping:   dt · (D √δ · n_pts) / m  ≤ 0.5
+        stiffness: dt · √(1.5 K √δ · n_pts / m) ≤ 0.33
+    """
+    import numpy as np
+
+    kdp = model.kin_dyn_parameters
+    cp = kdp.contact_parameters
+    idx = cp.indices_of_enabled_collidable_points
+    if len(idx) == 0:
+        return K, D
+
+    dt = float(model.time_step)
+    masses = np.asarray(kdp.link_parameters.mass)
+    parents = np.asarray(cp.body)[idx]
+    sqrt_d = float(np.sqrt(max_penetration))
+
+    K_cap, D_cap = np.inf, np.inf
+    for link in np.unique(parents):
+        n_pts = int(np.sum(parents == link))
+        m = float(masses[link])
+        if m <= 0:
+            continue
+        D_cap = min(D_cap, 0.5 * m / (dt * sqrt_d * n_pts))
+        K_cap = min(K_cap, (0.33 / dt) ** 2 * m / (1.5 * sqrt_d * n_pts))
+
+    return jnp.minimum(K, K_cap), jnp.minimum(D, D_cap)

@@ -93,8 +93,10 @@ def test_sphere_settles_on_terrain():
     data = js.JaxSimModelData.build(model, base_position=jnp.array([0.0, 0.0, 0.3]))
     data_tf = rollout(model, data, 3000)
     z = float(data_tf.base_position[2])
-    # Sphere radius 0.15: rests at ~0.15 − penetration.
-    assert 0.142 < z < 0.152
+    # Sphere radius 0.15: rests at ~0.15 − penetration. The stability-clamped
+    # default stiffness is conservative for many-point spheres, so the
+    # steady-state penetration is ~1 cm.
+    assert 0.137 < z < 0.152
 
 
 def test_humanoid_long_rollout_stable():

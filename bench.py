@@ -5,8 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload (BASELINE.json): 23-DoF floating-base humanoid, soft contacts,
 semi-implicit Euler, dt=1e-3, PD-held rollout, batch sharded over all
-available devices. Uses the batch-minor engine (jaxsim_tpu.ops.batched_engine)
-— the TPU hot path; BENCH_PATH=vmap measures the generic vmap path instead.
+available devices. Default path is the fused in-kernel Pallas rollout
+(one launch per horizon); BENCH_PATH=pallas uses a launch per step,
+BENCH_PATH=batched the XLA batch-minor engine, BENCH_PATH=vmap the
+generic vmap'd js.model.step.
 """
 
 from __future__ import annotations
@@ -22,14 +24,17 @@ import jax.numpy as jnp
 
 def main() -> None:
     batch_size = int(os.environ.get("BENCH_BATCH", "8192"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "200"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "1000"))
 
     import jaxsim_tpu.api as js
     from jaxsim_tpu import models
     from jaxsim_tpu.ops.batched_engine import BatchedEngine
     from jaxsim_tpu.parallel import make_env_mesh, shard_data_batch
 
-    bench_path = os.environ.get("BENCH_PATH", "pallas")  # pallas|batched|vmap
+    bench_path = os.environ.get("BENCH_PATH", "fused")  # fused|pallas|batched|vmap
+    if bench_path not in ("fused", "pallas", "batched", "vmap"):
+        print(f"# unknown BENCH_PATH={bench_path!r}; using 'batched'", file=sys.stderr)
+        bench_path = "batched"
     use_vmap_path = bench_path == "vmap"
 
     model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
@@ -78,7 +83,7 @@ def main() -> None:
         eng = BatchedEngine.build(model)
         state = eng.init_state(batch_size, key=jax.random.PRNGKey(0))
 
-        if bench_path == "pallas":
+        if bench_path in ("fused", "pallas"):
             state = ps.tile_state(state)
 
         if n_dev > 1:
@@ -86,7 +91,7 @@ def main() -> None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             mesh = make_env_mesh()
-            shard_axis = -2 if bench_path == "pallas" else -1
+            shard_axis = -2 if bench_path in ("fused", "pallas") else -1
             def put(a):
                 spec = [None] * a.ndim
                 spec[shard_axis % a.ndim] = "env"
@@ -94,25 +99,37 @@ def main() -> None:
             state = jax.tree.map(put, state)
         data0 = state
 
-        if bench_path == "pallas":
-            run = jax.jit(lambda st: ps.pallas_rollout(eng, st, n_steps))
-        else:
-            run = jax.jit(lambda st: eng.rollout(st, n_steps))
+        def make_run(path):
+            if path == "fused":
+                # Single kernel launch: the whole horizon runs inside one
+                # Pallas fori_loop — amortizes dispatch/RPC per call.
+                return jax.jit(ps.build_pallas_rollout(eng, n_steps))
+            if path == "pallas":
+                return jax.jit(lambda st: ps.pallas_rollout(eng, st, n_steps))
+            return jax.jit(lambda st: eng.rollout(st, n_steps))
 
+        run = make_run(bench_path)
         out_leaf = lambda o: o.p
 
-        if bench_path == "pallas":
-            # Fall back to the XLA engine if the fused kernel fails to
-            # compile in this environment.
+        # Fall back along fused → pallas → batched if a kernel fails to
+        # compile in this environment.
+        while bench_path in ("fused", "pallas"):
             try:
                 test_out = run(data0)
                 jax.block_until_ready(out_leaf(test_out))
+                break
             except Exception as e:  # noqa: BLE001
-                print(f"# pallas path failed ({type(e).__name__}); falling back", file=sys.stderr)
-                bench_path = "batched"
-                state = eng.init_state(batch_size, key=jax.random.PRNGKey(0))
-                data0 = state
-                run = jax.jit(lambda st: eng.rollout(st, n_steps))
+                nxt = "pallas" if bench_path == "fused" else "batched"
+                print(
+                    f"# {bench_path} path failed ({type(e).__name__}); "
+                    f"falling back to {nxt}",
+                    file=sys.stderr,
+                )
+                bench_path = nxt
+                if bench_path == "batched":
+                    state = eng.init_state(batch_size, key=jax.random.PRNGKey(0))
+                    data0 = state
+                run = make_run(bench_path)
 
     # Warmup (compile).
     out = run(data0)

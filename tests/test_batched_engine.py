@@ -212,3 +212,23 @@ def test_pallas_interpret_small_model():
         assert_allclose(
             getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
         )
+
+
+def test_pallas_rollout_kernel_interpret_small_model():
+    """The in-kernel fori_loop rollout (one launch per horizon — the default
+    bench path) matches the per-step engine rollout in interpreter mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    st = eng.init_state(1024, key=jax.random.PRNGKey(1))
+    policy = lambda s: -5.0 * s.s - 0.1 * s.sd
+    ref = eng.rollout(st, 3, policy=policy)
+    with pltpu.force_tpu_interpret_mode():
+        out = ps.untile_state(ps.build_pallas_rollout(eng, 3, policy)(ps.tile_state(st)))
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )

@@ -286,6 +286,11 @@ class BatchedEngine:
     gravity_z: float
     dt: float
     floating_base: bool
+    # Plane terrain through (0, 0, H) with static unit normal n̂ = (a, b, c);
+    # terrain_offset = c·H so penetration is δ = max(0, offset − n̂·p).
+    # The default (ẑ, 0) keeps the specialized flat-ground code path.
+    terrain_normal: tuple = (0.0, 0.0, 1.0)
+    terrain_offset: float = 0.0
 
     # Numeric model arrays, kept as nested tuples (hashable, numpy-convertible).
     _S: tuple = dataclasses.field(repr=False, default=())
@@ -300,16 +305,18 @@ class BatchedEngine:
         from jaxsim_tpu.ops.contacts.soft import SoftContacts
         from jaxsim_tpu.terrain import FlatTerrain
 
-        # The fused hot path implements flat terrain at z = 0 and soft
+        # The fused hot path implements flat/inclined-plane terrain and soft
         # contacts with semi-implicit Euler; other configurations use the
         # generic js.model.step path.
-        if type(model.terrain) is not FlatTerrain or getattr(
-            model.terrain, "_height", 0.0
-        ) != 0.0:
+        if not isinstance(model.terrain, FlatTerrain):
             raise ValueError(
-                "BatchedEngine supports flat terrain at z=0; use the generic"
+                "BatchedEngine supports flat/plane terrain; use the generic"
                 " js.model.step path for other terrains"
             )
+        t_normal = tuple(
+            float(x) for x in getattr(model.terrain, "_normal", (0.0, 0.0, 1.0))
+        )
+        t_offset = t_normal[2] * float(getattr(model.terrain, "_height", 0.0))
         if not isinstance(model.contact_model, SoftContacts):
             raise ValueError(
                 "BatchedEngine implements soft contacts; use the generic"
@@ -334,6 +341,8 @@ class BatchedEngine:
             gravity_z=float(model.gravity),
             dt=float(model.time_step),
             floating_base=model.floating_base(),
+            terrain_normal=t_normal,
+            terrain_offset=t_offset,
             _S=_freeze(kdp.motion_subspaces),
             _M_links=_freeze(kdp.link_parameters.spatial_inertia()),
             _joint_axis=_freeze(kdp.joint_model.joint_axis),
@@ -502,12 +511,17 @@ class BatchedEngine:
 
     def soft_contact_forces(self, W_R, W_p, W_v, m, pr=None):
         """Hunt/Crossley per point; per-link 6D inertial forces (list of
-        (6,*b) or None) and ṁ (nC,3,*b). Flat terrain z = 0."""
+        (6,*b) or None) and ṁ (nC,3,*b). Plane terrain with static normal
+        n̂ = terrain_normal through offset = terrain_offset (flat ground at
+        z = 0 keeps a specialized zero-multiply code path)."""
         pr = pr if pr is not None else self.params()
         bshape = W_p[0].shape[1:]
         f_links = [None] * self.n_links
         md_list = []
         eps = jnp.finfo(jnp.float32).eps
+        ax, ay, az = self.terrain_normal
+        off = self.terrain_offset
+        flat = (ax, ay, az) == (0.0, 0.0, 1.0) and off == 0.0
 
         for c in range(self.n_points):
             parent = self.contact_parent[c]
@@ -516,8 +530,16 @@ class BatchedEngine:
             pc = _rv(Rp, _bvec(Lp, 3, bshape)) + pp
             pd = vp[0:3] + _cross(vp[3:6], pc)
 
-            delta = jnp.maximum(0.0, -pc[2])
-            delta_dot = jnp.where(delta > 0, -pd[2], 0.0)
+            mc = m[c]
+            zb = jnp.zeros_like(pd[0])
+            if flat:
+                delta = jnp.maximum(0.0, -pc[2])
+                delta_dot = jnp.where(delta > 0, -pd[2], 0.0)
+            else:
+                ndotp = ax * pc[0] + ay * pc[1] + az * pc[2]
+                ndotv = ax * pd[0] + ay * pd[1] + az * pd[2]
+                delta = jnp.maximum(0.0, off - ndotp)
+                delta_dot = jnp.where(delta > 0, -ndotv, 0.0)
 
             dp = jnp.power(delta + eps, self.hc_p)
             dq = jnp.power(delta + eps, self.hc_q)
@@ -525,11 +547,17 @@ class BatchedEngine:
                 0.0, (self.K * dp) * delta + (self.D * dq) * delta_dot
             )
 
-            zb = jnp.zeros_like(pd[0])
-            v_t = jnp.stack([pd[0], pd[1], zb])
-            mc = m[c]
-            m_n = jnp.stack([zb, zb, mc[2]])
-            m_t = jnp.stack([mc[0], mc[1], zb])
+            if flat:
+                v_t = jnp.stack([pd[0], pd[1], zb])
+                m_n = jnp.stack([zb, zb, mc[2]])
+                m_t = jnp.stack([mc[0], mc[1], zb])
+            else:
+                v_t = jnp.stack(
+                    [pd[0] - ndotv * ax, pd[1] - ndotv * ay, pd[2] - ndotv * az]
+                )
+                mdotn = ax * mc[0] + ay * mc[1] + az * mc[2]
+                m_n = jnp.stack([mdotn * ax, mdotn * ay, mdotn * az])
+                m_t = mc - m_n
 
             f_t = -((self.K * dp) * m_t + (self.D * dq) * v_t)
             f_t_sq = jnp.sum(f_t * f_t, axis=0)
@@ -550,7 +578,16 @@ class BatchedEngine:
             )
             md_list.append(md)
 
-            f_lin = jnp.stack([f_t[0], f_t[1], f_t[2] + fn_mag])
+            if flat:
+                f_lin = jnp.stack([f_t[0], f_t[1], f_t[2] + fn_mag])
+            else:
+                f_lin = jnp.stack(
+                    [
+                        f_t[0] + fn_mag * ax,
+                        f_t[1] + fn_mag * ay,
+                        f_t[2] + fn_mag * az,
+                    ]
+                )
             f6 = jnp.concatenate([f_lin, _cross(pc, f_lin)])
             f_links[parent] = (
                 f6 if f_links[parent] is None else f_links[parent] + f6

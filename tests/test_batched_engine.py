@@ -153,10 +153,13 @@ def test_state_data_roundtrip(setup):
 
 def test_engine_rejects_unsupported_configs():
     from jaxsim_tpu.ops.contacts import RigidContacts, RigidContactsParams
-    from jaxsim_tpu.terrain import PlaneTerrain
+    from jaxsim_tpu.terrain import HeightmapTerrain
 
     m1 = js.JaxSimModel.build_from_model_description(
-        models.build_box_urdf(), terrain=PlaneTerrain.build(normal=(0.1, 0, 1))
+        models.build_box_urdf(),
+        terrain=HeightmapTerrain.build(
+            heights=np.zeros((4, 4)), extent=(-2, 2, -2, 2)
+        ),
     )
     with pytest.raises(ValueError):
         BatchedEngine.build(m1)
@@ -168,6 +171,44 @@ def test_engine_rejects_unsupported_configs():
     )
     with pytest.raises(ValueError):
         BatchedEngine.build(m2)
+
+
+def test_engine_plane_terrain_equivalence():
+    """A sphere dropped on a 10-degree incline: the engine's static-normal
+    contact path matches the generic js.model.step path."""
+    from jaxsim_tpu.terrain import PlaneTerrain
+
+    normal = (np.sin(np.deg2rad(10.0)), 0.0, np.cos(np.deg2rad(10.0)))
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_sphere_urdf(), terrain=PlaneTerrain.build(normal=normal)
+    )
+    eng = BatchedEngine.build(model)
+    assert eng.terrain_normal[0] > 0  # the incline actually reached the engine
+
+    st = eng.init_state(2, base_position=(0.0, 0.0, 0.16))
+    out = jax.jit(
+        lambda s: eng.rollout(s, 100, policy=lambda st: jnp.zeros_like(st.s))
+    )(st)
+
+    data = js.JaxSimModelData.build(
+        model,
+        base_position=jnp.array([0.0, 0.0, 0.16]),
+        velocity_representation=js.VelRepr.Inertial,
+    )
+
+    @jax.jit
+    def run(d):
+        def body(d, _):
+            return js.model.step(model, d), None
+
+        o, _ = jax.lax.scan(body, d, None, length=100)
+        return o
+
+    ref = run(data)
+    # The sphere must both settle onto the plane and slide down it.
+    assert_allclose(out.p[:, 0], ref.base_position, rtol=1e-3, atol=1e-4)
+    assert_allclose(out.v[:, 0], ref.base_velocity, rtol=1e-3, atol=1e-4)
+    assert np.asarray(ref.base_position)[0] > 1e-3  # slid along +x (downhill)
 
 
 def test_engine_fixed_base():

@@ -178,6 +178,165 @@ def _rollout_kernel(engine: BatchedEngine, policy, n_steps: int,
     m_out[:] = m
 
 
+def _sel(done, fresh, new):
+    """Per-env select between respawn and stepped leaves, unrolled over
+    leading dims (Mosaic-safe: no rank-extending broadcast of the mask)."""
+    if fresh.ndim == done.ndim:
+        return jnp.where(done, fresh, new)
+    return jnp.stack(
+        [_sel(done, fresh[i], new[i]) for i in range(fresh.shape[0])]
+    )
+
+
+def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
+                        episode_length: int, z_lo: float, z_hi: float,
+                        s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
+                        S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
+                        s_out, sd_out, p_out, q_out, v_out, m_out,
+                        rew_out, resets_out, steps_out):
+    """RL evaluation rollout in one kernel: step + termination/truncation +
+    auto-reset to the episode-start state, with per-env reward accumulation.
+
+    The respawn target is the kernel's own input tile (the episode-start
+    state), so auto-reset costs no extra inputs or HBM traffic.
+    """
+    pr = dict(
+        S=S_ref[:], M=M_ref[:], axis=axis_ref[:],
+        lamH=lamH_ref[:], sucH=sucH_ref[:], cpoint=cpoint_ref[:],
+    )
+    init = (s_ref[:], sd_ref[:], p_ref[:], q_ref[:], v_ref[:], m_ref[:])
+    tile = init[2].shape[1:]
+    carry0 = init + (
+        jnp.zeros(tile, dtype=jnp.int32),  # steps in episode
+        jnp.zeros(tile, dtype=jnp.float32),  # reward sum
+        jnp.zeros(tile, dtype=jnp.int32),  # resets
+    )
+
+    set_mosaic_mode(True)
+    try:
+        def body(_, carry):
+            st = BatchedState(*carry[:6])
+            steps, rew_sum, resets = carry[6:]
+            tau = policy(st)
+            new = engine.step(st, tau, pr)
+
+            steps1 = steps + 1
+            z = new.p[2]
+            done = jnp.logical_or(
+                jnp.logical_or(z < z_lo, z > z_hi),
+                steps1 >= episode_length,
+            )
+            r = reward(st, tau, new)
+
+            nxt = tuple(_sel(done, f, n) for f, n in zip(init, (
+                new.s, new.sd, new.p, new.q, new.v, new.m)))
+            return nxt + (
+                jnp.where(done, 0, steps1),
+                rew_sum + r,
+                resets + done.astype(jnp.int32),
+            )
+
+        out = jax.lax.fori_loop(0, n_steps, body, carry0)
+    finally:
+        set_mosaic_mode(False)
+
+    s_out[:] = out[0]
+    sd_out[:] = out[1]
+    p_out[:] = out[2]
+    q_out[:] = out[3]
+    v_out[:] = out[4]
+    m_out[:] = out[5]
+    steps_out[:] = out[6]
+    rew_out[:] = out[7]
+    resets_out[:] = out[8]
+
+
+def _default_reward(st, tau, new):
+    # Upright-height bonus minus control cost (matches envs.BatchedEnv).
+    ctrl = tau[0] * tau[0]
+    for i in range(1, tau.shape[0]):
+        ctrl = ctrl + tau[i] * tau[i]
+    return new.p[2] - 0.001 * ctrl
+
+
+def build_pallas_env_rollout(
+    engine: BatchedEngine,
+    n_steps: int,
+    policy=None,
+    reward=None,
+    episode_length: int = 1000,
+    healthy_z_range: tuple = (0.4, 2.0),
+):
+    """Return a jittable ``state -> (state, reward_sum, resets, steps)``
+    running an auto-resetting RL evaluation rollout inside ONE kernel launch
+    per batch tile (state shapes as in :func:`build_pallas_step`).
+
+    Episodes terminate when base height leaves ``healthy_z_range`` or at
+    ``episode_length`` steps; the env respawns at its episode-start state.
+    ``reward_sum``/``resets`` are per-env totals over the whole rollout.
+    """
+    policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
+    reward = reward or _default_reward
+    n, nC = engine.n_joints, engine.n_points
+    z_lo, z_hi = float(healthy_z_range[0]), float(healthy_z_range[1])
+
+    kernel = functools.partial(
+        _env_rollout_kernel, engine, policy, reward, n_steps,
+        int(episode_length), z_lo, z_hi,
+    )
+
+    def rollout(state: BatchedState):
+        B1 = state.p.shape[-2]
+        assert B1 % TILE_SUB == 0
+        grid = (B1 // TILE_SUB,)
+
+        def spec(lead):
+            nlead = len(lead)
+            return pl.BlockSpec(
+                lead + (TILE_SUB, TILE_LANE),
+                (lambda i, _n=nlead: (0,) * _n + (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+
+        state_specs = [
+            spec((n,)), spec((n,)), spec((3,)), spec((4,)), spec((6,)),
+            spec((nC, 3)),
+        ]
+        pr = engine.params()
+
+        def full_spec(a):
+            nd = a.ndim
+            return pl.BlockSpec(
+                a.shape, (lambda i, _n=nd: (0,) * _n), memory_space=pltpu.VMEM
+            )
+
+        param_order = ["S", "M", "axis", "lamH", "sucH", "cpoint"]
+        tile_shape = state.p.shape[1:]
+        out_shapes = [
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (state.s, state.sd, state.p, state.q, state.v, state.m)
+        ] + [
+            jax.ShapeDtypeStruct(tile_shape, jnp.float32),  # reward_sum
+            jax.ShapeDtypeStruct(tile_shape, jnp.int32),  # resets
+            jax.ShapeDtypeStruct(tile_shape, jnp.int32),  # steps
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=state_specs + [full_spec(pr[k]) for k in param_order],
+            out_specs=tuple(state_specs) + (spec(()), spec(()), spec(())),
+            out_shape=tuple(out_shapes),
+        )(
+            state.s, state.sd, state.p, state.q, state.v, state.m,
+            *[pr[k] for k in param_order],
+        )
+        final = BatchedState(*out[:6])
+        rew_sum, resets, steps = out[6], out[7], out[8]
+        return final, rew_sum, resets, steps
+
+    return rollout
+
+
 def build_pallas_rollout(engine: BatchedEngine, n_steps: int, policy=None):
     """Return a jittable ``state -> state`` advancing ``n_steps`` inside ONE
     kernel launch per batch tile (state shapes as in build_pallas_step)."""

@@ -59,6 +59,74 @@ def test_termination_auto_reset():
     np.testing.assert_allclose(np.asarray(state.sim.p[2]), 0.35, atol=1e-6)
 
 
+def test_pallas_env_rollout_interpret_matches_reference():
+    """The in-kernel auto-resetting eval rollout matches a plain-jnp loop
+    with identical semantics (interpret mode, small model)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    st = eng.init_state(1024, base_position=(0.0, 0.0, 0.35))
+    policy = lambda s: -5.0 * s.s - 0.1 * s.sd
+    n_steps, ep_len, z_rng = 5, 3, (0.05, 2.0)
+
+    # Reference: same semantics in plain jnp over the engine step.
+    init = st
+    sim, steps = st, jnp.zeros(1024, dtype=jnp.int32)
+    rew_sum = jnp.zeros(1024)
+    resets = jnp.zeros(1024, dtype=jnp.int32)
+    for _ in range(n_steps):
+        tau = policy(sim)
+        new = eng.step(sim, tau)
+        steps = steps + 1
+        z = new.p[2]
+        done = (z < z_rng[0]) | (z > z_rng[1]) | (steps >= ep_len)
+        rew_sum = rew_sum + new.p[2] - 0.001 * jnp.sum(tau * tau, axis=0)
+        sim = jax.tree.map(lambda f, n_: jnp.where(done, f, n_), init, new)
+        steps = jnp.where(done, 0, steps)
+        resets = resets + done.astype(jnp.int32)
+
+    run = ps.build_pallas_env_rollout(
+        eng, n_steps, policy=policy, episode_length=ep_len, healthy_z_range=z_rng
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, rew_k, resets_k, steps_k = run(ps.tile_state(st))
+    out = ps.untile_state(out)
+
+    flat = lambda a: np.asarray(a).reshape(a.shape[:-2] + (-1,))
+    assert np.asarray(resets).sum() > 0  # the scenario actually resets
+    np.testing.assert_array_equal(flat(resets_k), np.asarray(resets))
+    np.testing.assert_array_equal(flat(steps_k), np.asarray(steps))
+    np.testing.assert_allclose(flat(rew_k), np.asarray(rew_sum), rtol=1e-5, atol=1e-5)
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, f)),
+            np.asarray(getattr(sim, f)),
+            rtol=1e-5, atol=1e-5, err_msg=f,
+        )
+
+
+def test_fused_eval_rollout_wrapper():
+    from jax.experimental.pallas import tpu as pltpu
+
+    env = _env(episode_length=3, reset_noise_std=0.0)
+    with pltpu.force_tpu_interpret_mode():
+        final, rew, resets = env.fused_eval_rollout(
+            jax.random.PRNGKey(0), 1024, 5,
+            policy=lambda s: -5.0 * s.s - 0.1 * s.sd,
+        )
+    assert rew.shape == (1024,) and resets.shape == (1024,)
+    assert np.isfinite(np.asarray(rew)).all()
+    assert np.asarray(resets).min() == 1  # one truncation in 5 steps, horizon 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of"):
+        env.fused_eval_rollout(jax.random.PRNGKey(0), 100, 5)
+
+
 def test_scan_rollout_with_policy():
     env = _env(episode_length=10)
     state, _ = env.reset(jax.random.PRNGKey(2), 4)

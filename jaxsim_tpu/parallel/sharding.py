@@ -37,6 +37,57 @@ def shard_data_batch(data_batch, mesh: Mesh, axis_name: str = "env"):
     return jax.tree.map(put, data_batch)
 
 
+def sharded_fused_rollout(
+    engine,
+    state,
+    *,
+    n_steps: int,
+    policy=None,
+    mesh: Mesh | None = None,
+    axis_name: str = "env",
+):
+    """Multi-chip deployment path for the fused Pallas rollout.
+
+    Pallas calls are opaque to the pjit partitioner, so the kernel is wrapped
+    in ``shard_map``: each device runs the single-launch in-kernel rollout on
+    its local shard of the env batch. There is no cross-device communication
+    inside a step (per-env state is local), so scaling over ICI is linear.
+
+    Args:
+        engine: The batch-minor engine.
+        state: Tiled ``BatchedState`` (leaves shaped ``(lead…, B1, 128)``);
+            ``B1`` must split evenly into per-device multiples of 8.
+        n_steps: Rollout horizon (inside one kernel launch per device).
+        policy: Optional ``BatchedState -> torques`` Mosaic-expressible fn.
+        mesh: Device mesh (default: all devices on one ``env`` axis).
+
+    Returns:
+        The final tiled ``BatchedState``, sharded like the input.
+    """
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    shard_map = jax.shard_map
+
+    mesh = mesh if mesh is not None else make_env_mesh(axis_name=axis_name)
+    n_dev = mesh.devices.size
+    B1 = state.p.shape[-2]
+    if B1 % (n_dev * ps.TILE_SUB) != 0:
+        raise ValueError(
+            f"batch rows {B1} must split into per-device multiples of"
+            f" {ps.TILE_SUB} over {n_dev} devices"
+        )
+
+    specs = jax.tree.map(
+        lambda a: P(*([None] * (a.ndim - 2) + [axis_name, None])), state
+    )
+    roll = ps.build_pallas_rollout(engine, n_steps, policy)
+    # check_vma=False: the VMA checker cannot introspect pallas_call outputs.
+    fn = shard_map(
+        roll, mesh=mesh, in_specs=(specs,), out_specs=specs, check_vma=False
+    )
+    return jax.jit(fn)(state)
+
+
 def sharded_rollout(
     model,
     data_batch,

@@ -126,3 +126,40 @@ def test_rk4_relaxed_rigid_sharded(model):
         out = step(out)
     assert np.all(np.isfinite(np.asarray(out.base_position)))
     assert len(out.base_position.sharding.device_set) == 8
+
+
+def test_sharded_fused_rollout_plumbing(monkeypatch):
+    """The shard_map wrapper partitions the tiled state over devices and
+    matches the unsharded rollout. The Pallas kernel is substituted with the
+    numerically identical engine rollout (interpret-mode Pallas under
+    shard_map is impractically slow on CPU); the real kernel+shard_map
+    composition is exercised on TPU hardware."""
+    from jaxsim_tpu.ops import pallas_step as ps
+    from jaxsim_tpu.parallel import sharded_fused_rollout
+
+    m = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(m)
+    B = 8 * 8 * 128  # 8 devices x one (8, 128) tile each
+    st = eng.init_state(B, base_position=(0.0, 0.0, 0.35))
+
+    ref = eng.rollout(st, 3)
+
+    # The engine is layout-agnostic over trailing batch dims, so it accepts
+    # the tiled (B1, 128) state with the same call signature as the kernel.
+    monkeypatch.setattr(
+        ps, "build_pallas_rollout",
+        lambda e, n, policy=None: (lambda s: e.rollout(s, n, policy=policy)),
+    )
+    out = sharded_fused_rollout(eng, ps.tile_state(st), n_steps=3)
+    out = ps.untile_state(out)
+
+    assert len(out.p.sharding.device_set) == 8
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, f)),
+            np.asarray(getattr(ref, f)),
+            rtol=1e-5, atol=1e-5, err_msg=f,
+        )
+
+    with pytest.raises(ValueError, match="split into per-device"):
+        sharded_fused_rollout(eng, ps.tile_state(eng.init_state(1024)), n_steps=2)

@@ -188,18 +188,62 @@ def _sel(done, fresh, new):
     )
 
 
+def _obs_rows(st: BatchedState):
+    """Observation rows ``[s, sd, q, v, p_z]`` as a list of batch tiles
+    (matches envs.BatchedEnv's default observation)."""
+    rows = [st.s[i] for i in range(st.s.shape[0])]
+    rows += [st.sd[i] for i in range(st.sd.shape[0])]
+    rows += [st.q[i] for i in range(4)]
+    rows += [st.v[i] for i in range(6)]
+    rows.append(st.p[2])
+    return rows
+
+
+def obs_dim(n_joints: int) -> int:
+    """Observation size of the default obs ``[s, sd, q, v, p_z]``."""
+    return 2 * n_joints + 11
+
+
+def _linear_policy_tau(st: BatchedState, W, b, n_joints: int):
+    """``tau = W @ obs + b`` unrolled into static-indexed scalar MACs over
+    batch tiles (Mosaic-safe; W/b are call-time VMEM inputs, so updated
+    policy weights do NOT trigger a kernel recompile)."""
+    rows = _obs_rows(st)
+    taus = []
+    for a in range(n_joints):
+        acc = b[a, 0] + W[a, 0] * rows[0]
+        for k in range(1, len(rows)):
+            acc = acc + W[a, k] * rows[k]
+        taus.append(acc)
+    return jnp.stack(taus)
+
+
 def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
                         episode_length: int, z_lo: float, z_hi: float,
-                        s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
-                        S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
-                        s_out, sd_out, p_out, q_out, v_out, m_out,
-                        rew_out, resets_out, steps_out):
+                        linear_policy: bool,
+                        *refs):
     """RL evaluation rollout in one kernel: step + termination/truncation +
     auto-reset to the episode-start state, with per-env reward accumulation.
 
     The respawn target is the kernel's own input tile (the episode-start
-    state), so auto-reset costs no extra inputs or HBM traffic.
+    state), so auto-reset costs no extra inputs or HBM traffic. With
+    ``linear_policy`` the torques are ``W @ obs + b`` where W/b are
+    call-time kernel inputs (weight updates don't recompile).
     """
+    if linear_policy:
+        (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
+         S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
+         W_ref, b_ref,
+         s_out, sd_out, p_out, q_out, v_out, m_out,
+         rew_out, resets_out, steps_out) = refs
+        n = s_ref.shape[0]
+        W, b = W_ref[:], b_ref[:]
+        policy = lambda st: _linear_policy_tau(st, W, b, n)
+    else:
+        (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
+         S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
+         s_out, sd_out, p_out, q_out, v_out, m_out,
+         rew_out, resets_out, steps_out) = refs
     pr = dict(
         S=S_ref[:], M=M_ref[:], axis=axis_ref[:],
         lamH=lamH_ref[:], sucH=sucH_ref[:], cpoint=cpoint_ref[:],
@@ -266,26 +310,35 @@ def build_pallas_env_rollout(
     reward=None,
     episode_length: int = 1000,
     healthy_z_range: tuple = (0.4, 2.0),
+    linear_policy: bool = False,
 ):
-    """Return a jittable ``state -> (state, reward_sum, resets, steps)``
-    running an auto-resetting RL evaluation rollout inside ONE kernel launch
-    per batch tile (state shapes as in :func:`build_pallas_step`).
+    """Return a jittable rollout running an auto-resetting RL evaluation
+    inside ONE kernel launch per batch tile (state shapes as in
+    :func:`build_pallas_step`).
 
     Episodes terminate when base height leaves ``healthy_z_range`` or at
     ``episode_length`` steps; the env respawns at its episode-start state.
     ``reward_sum``/``resets`` are per-env totals over the whole rollout.
+
+    With ``linear_policy=True`` the returned fn is
+    ``(state, W, b) -> (state, reward_sum, resets, steps)`` where
+    ``W (n_joints, obs_dim)`` / ``b (n_joints, 1)`` are CALL-TIME inputs:
+    evaluating updated policy weights does not recompile the kernel. The
+    observation is ``[s, sd, q, v, p_z]`` (see :func:`obs_dim`). Otherwise
+    the fn is ``state -> (...)`` with a compile-time ``policy`` closure.
     """
-    policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
+    if not linear_policy:
+        policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
     reward = reward or _default_reward
     n, nC = engine.n_joints, engine.n_points
     z_lo, z_hi = float(healthy_z_range[0]), float(healthy_z_range[1])
 
     kernel = functools.partial(
         _env_rollout_kernel, engine, policy, reward, n_steps,
-        int(episode_length), z_lo, z_hi,
+        int(episode_length), z_lo, z_hi, linear_policy,
     )
 
-    def rollout(state: BatchedState):
+    def rollout(state: BatchedState, W=None, b=None):
         B1 = state.p.shape[-2]
         assert B1 % TILE_SUB == 0
         grid = (B1 // TILE_SUB,)
@@ -311,6 +364,16 @@ def build_pallas_env_rollout(
             )
 
         param_order = ["S", "M", "axis", "lamH", "sucH", "cpoint"]
+        extra_in, extra_specs = [], []
+        if linear_policy:
+            W = jnp.asarray(W, dtype=jnp.float32)
+            b = jnp.reshape(jnp.asarray(b, dtype=jnp.float32), (n, 1))
+            if W.shape != (n, obs_dim(n)):
+                raise ValueError(
+                    f"W must have shape ({n}, {obs_dim(n)}); got {W.shape}"
+                )
+            extra_in = [W, b]
+            extra_specs = [full_spec(W), full_spec(b)]
         tile_shape = state.p.shape[1:]
         out_shapes = [
             jax.ShapeDtypeStruct(a.shape, a.dtype)
@@ -323,12 +386,14 @@ def build_pallas_env_rollout(
         out = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=state_specs + [full_spec(pr[k]) for k in param_order],
+            in_specs=state_specs + [full_spec(pr[k]) for k in param_order]
+            + extra_specs,
             out_specs=tuple(state_specs) + (spec(()), spec(()), spec(())),
             out_shape=tuple(out_shapes),
         )(
             state.s, state.sd, state.p, state.q, state.v, state.m,
             *[pr[k] for k in param_order],
+            *extra_in,
         )
         final = BatchedState(*out[:6])
         rew_sum, resets, steps = out[6], out[7], out[8]

@@ -108,6 +108,69 @@ def test_pallas_env_rollout_interpret_matches_reference():
         )
 
 
+def test_pallas_env_rollout_linear_policy():
+    """tau = W@obs + b with call-time weights matches the closure policy,
+    and swapping weights does NOT retrace the kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    n = eng.n_joints
+    d = ps.obs_dim(n)
+    st0 = eng.init_state(1024, base_position=(0.0, 0.0, 0.35))
+    st = ps.tile_state(st0)
+
+    key = jax.random.PRNGKey(3)
+    W = 0.1 * jax.random.normal(key, (n, d))
+    b = 0.05 * jax.random.normal(jax.random.split(key)[0], (n, 1))
+
+    def policy_flat(sim):
+        obs = jnp.concatenate(
+            [sim.s, sim.sd, sim.q, sim.v, sim.p[2:3]], axis=0
+        )
+        return W @ obs + b
+
+    # Reference: identical env semantics in plain jnp over the engine step.
+    ep_len, z_rng = 3, (0.05, 2.0)
+    init, sim = st0, st0
+    steps = jnp.zeros(1024, dtype=jnp.int32)
+    rew_ref = jnp.zeros(1024)
+    resets_ref = jnp.zeros(1024, dtype=jnp.int32)
+    for _ in range(4):
+        tau = policy_flat(sim)
+        new = eng.step(sim, tau)
+        steps = steps + 1
+        done = (new.p[2] < z_rng[0]) | (new.p[2] > z_rng[1]) | (steps >= ep_len)
+        rew_ref = rew_ref + new.p[2] - 0.001 * jnp.sum(tau * tau, axis=0)
+        sim = jax.tree.map(lambda f, n_: jnp.where(done, f, n_), init, new)
+        steps = jnp.where(done, 0, steps)
+        resets_ref = resets_ref + done.astype(jnp.int32)
+
+    kw = dict(episode_length=ep_len, healthy_z_range=z_rng)
+    run_linear = jax.jit(
+        ps.build_pallas_env_rollout(eng, 4, linear_policy=True, **kw)
+    )
+    flat = lambda a: np.asarray(a).reshape(-1)
+    with pltpu.force_tpu_interpret_mode():
+        _, rew_l, resets_l, _ = run_linear(st, W, b)
+        np.testing.assert_allclose(
+            flat(rew_l), np.asarray(rew_ref), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(flat(resets_l), np.asarray(resets_ref))
+
+        # New weights, same compiled kernel.
+        _, rew_2, _, _ = run_linear(st, 2.0 * W, b)
+        assert run_linear._cache_size() == 1
+        assert not np.allclose(np.asarray(rew_2), np.asarray(rew_l))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="W must have shape"):
+        run_linear(st, jnp.zeros((n, d + 1)), b)
+
+
 def test_fused_eval_rollout_wrapper():
     from jax.experimental.pallas import tpu as pltpu
 
@@ -121,10 +184,25 @@ def test_fused_eval_rollout_wrapper():
     assert np.isfinite(np.asarray(rew)).all()
     assert np.asarray(resets).min() == 1  # one truncation in 5 steps, horizon 3
 
+    # Linear-policy mode through the same wrapper.
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    n = env.engine.n_joints
+    W = jnp.zeros((n, ps.obs_dim(n)))
+    with pltpu.force_tpu_interpret_mode():
+        _, rew_w, resets_w = env.fused_eval_rollout(
+            jax.random.PRNGKey(0), 1024, 5, W=W
+        )
+    assert np.isfinite(np.asarray(rew_w)).all()
+
     import pytest
 
     with pytest.raises(ValueError, match="multiple of"):
         env.fused_eval_rollout(jax.random.PRNGKey(0), 100, 5)
+    with pytest.raises(ValueError, match="not both"):
+        env.fused_eval_rollout(
+            jax.random.PRNGKey(0), 1024, 5, policy=lambda s: s.s, W=W
+        )
 
 
 def test_scan_rollout_with_policy():

@@ -513,7 +513,12 @@ class BatchedEngine:
         """Hunt/Crossley per point; per-link 6D inertial forces (list of
         (6,*b) or None) and ṁ (nC,3,*b). Plane terrain with static normal
         n̂ = terrain_normal through offset = terrain_offset (flat ground at
-        z = 0 keeps a specialized zero-multiply code path)."""
+        z = 0 keeps a specialized zero-multiply code path).
+
+        Per-env domain randomization: optional batch-shaped multipliers
+        ``pr["Kmul"]/["Dmul"]/["mumul"]`` scale the contact parameters
+        elementwise over envs (absent keys cost nothing — the scalar
+        constants fold at trace time)."""
         pr = pr if pr is not None else self.params()
         bshape = W_p[0].shape[1:]
         f_links = [None] * self.n_links
@@ -522,6 +527,9 @@ class BatchedEngine:
         ax, ay, az = self.terrain_normal
         off = self.terrain_offset
         flat = (ax, ay, az) == (0.0, 0.0, 1.0) and off == 0.0
+        K = self.K * pr["Kmul"] if "Kmul" in pr else self.K
+        D = self.D * pr["Dmul"] if "Dmul" in pr else self.D
+        mu = self.mu * pr["mumul"] if "mumul" in pr else self.mu
 
         for c in range(self.n_points):
             parent = self.contact_parent[c]
@@ -544,7 +552,7 @@ class BatchedEngine:
             dp = jnp.power(delta + eps, self.hc_p)
             dq = jnp.power(delta + eps, self.hc_q)
             fn_mag = jnp.maximum(
-                0.0, (self.K * dp) * delta + (self.D * dq) * delta_dot
+                0.0, (K * dp) * delta + (D * dq) * delta_dot
             )
 
             if flat:
@@ -559,19 +567,19 @@ class BatchedEngine:
                 m_n = jnp.stack([mdotn * ax, mdotn * ay, mdotn * az])
                 m_t = mc - m_n
 
-            f_t = -((self.K * dp) * m_t + (self.D * dq) * v_t)
+            f_t = -((K * dp) * m_t + (D * dq) * v_t)
             f_t_sq = jnp.sum(f_t * f_t, axis=0)
             sticking = jnp.logical_or(
-                delta <= 0, f_t_sq <= (self.mu * fn_mag) ** 2
+                delta <= 0, f_t_sq <= (mu * fn_mag) ** 2
             )
             norm = jnp.sqrt(jnp.maximum(f_t_sq, eps**2))
-            scale = jnp.minimum(self.mu * fn_mag, norm) / norm
+            scale = jnp.minimum(mu * fn_mag, norm) / norm
             f_t = jnp.where(sticking, f_t, f_t * scale)
             f_t = jnp.where(delta <= 0, 0.0, f_t)
 
-            md_nc = -(self.K / self.D) * mc
-            md_st = v_t - (self.K / self.D) * m_n
-            md_sl = -(f_t + (self.K * dp) * m_t) / (self.D * dq)
+            md_nc = -(K / D) * mc
+            md_st = v_t - (K / D) * m_n
+            md_sl = -(f_t + (K * dp) * m_t) / (D * dq)
             status = sticking.astype(int) + (delta <= 0).astype(int)
             md = jnp.where(
                 status == 0, md_sl, jnp.where(status == 1, md_st, md_nc)
@@ -762,11 +770,17 @@ class BatchedEngine:
         )
 
     def rollout(
-        self, state: BatchedState, n_steps: int, policy=None
+        self, state: BatchedState, n_steps: int, policy=None, domain=None
     ) -> BatchedState:
-        """On-device lax.scan rollout; ``policy(state) -> (n, *b)`` torques."""
+        """On-device lax.scan rollout; ``policy(state) -> (n, *b)`` torques.
+
+        ``domain``: optional dict of per-env contact multipliers
+        (``Kmul``/``Dmul``/``mumul``, each batch-shaped) for domain
+        randomization — see :meth:`soft_contact_forces`."""
         policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
         pr = self.params()
+        if domain:
+            pr = {**pr, **domain}
 
         def body(st, _):
             return self.step(st, policy(st), pr), None

@@ -148,15 +148,25 @@ def untile_state(state: BatchedState) -> BatchedState:
 
 
 def _rollout_kernel(engine: BatchedEngine, policy, n_steps: int,
-                    s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
-                    S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
-                    s_out, sd_out, p_out, q_out, v_out, m_out):
+                    domain: bool, *refs):
     """Whole rollout in one kernel: the env-tile state lives in registers/VMEM
-    across all ``n_steps`` — no HBM round-trips or kernel launches per step."""
+    across all ``n_steps`` — no HBM round-trips or kernel launches per step.
+
+    With ``domain``, three extra per-env multiplier tiles (Kmul, Dmul,
+    mumul) randomize the contact parameters at call time."""
+    (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
+     S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref) = refs[:12]
     pr = dict(
         S=S_ref[:], M=M_ref[:], axis=axis_ref[:],
         lamH=lamH_ref[:], sucH=sucH_ref[:], cpoint=cpoint_ref[:],
     )
+    k = 12
+    if domain:
+        pr["Kmul"], pr["Dmul"], pr["mumul"] = (
+            refs[12][:], refs[13][:], refs[14][:]
+        )
+        k = 15
+    (s_out, sd_out, p_out, q_out, v_out, m_out) = refs[k:k + 6]
     state0 = (s_ref[:], sd_ref[:], p_ref[:], q_ref[:], v_ref[:], m_ref[:])
 
     set_mosaic_mode(True)
@@ -402,15 +412,22 @@ def build_pallas_env_rollout(
     return rollout
 
 
-def build_pallas_rollout(engine: BatchedEngine, n_steps: int, policy=None):
-    """Return a jittable ``state -> state`` advancing ``n_steps`` inside ONE
-    kernel launch per batch tile (state shapes as in build_pallas_step)."""
+def build_pallas_rollout(
+    engine: BatchedEngine, n_steps: int, policy=None, domain: bool = False
+):
+    """Return a jittable rollout advancing ``n_steps`` inside ONE kernel
+    launch per batch tile (state shapes as in build_pallas_step).
+
+    With ``domain=True`` the fn is ``(state, Kmul, Dmul, mumul) -> state``
+    where the multipliers are per-env tiles shaped like ``state.p[2]``
+    (``(B1, 128)``): call-time contact-parameter domain randomization —
+    changing multipliers does not recompile."""
     policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
     n, nC = engine.n_joints, engine.n_points
 
-    kernel = functools.partial(_rollout_kernel, engine, policy, n_steps)
+    kernel = functools.partial(_rollout_kernel, engine, policy, n_steps, domain)
 
-    def rollout(state: BatchedState) -> BatchedState:
+    def rollout(state: BatchedState, Kmul=None, Dmul=None, mumul=None):
         B1 = state.p.shape[-2]
         assert B1 % TILE_SUB == 0
         grid = (B1 // TILE_SUB,)
@@ -436,6 +453,22 @@ def build_pallas_rollout(engine: BatchedEngine, n_steps: int, policy=None):
             )
 
         param_order = ["S", "M", "axis", "lamH", "sucH", "cpoint"]
+        extra_in, extra_specs = [], []
+        if domain:
+            tile = state.p.shape[1:]
+            mults = []
+            for name, mul in (("Kmul", Kmul), ("Dmul", Dmul), ("mumul", mumul)):
+                mul = jnp.asarray(
+                    mul if mul is not None else jnp.ones(tile), dtype=jnp.float32
+                )
+                if mul.shape != tile:
+                    raise ValueError(
+                        f"{name} must have the per-env tile shape {tile};"
+                        f" got {mul.shape}"
+                    )
+                mults.append(mul)
+            extra_in = mults
+            extra_specs = [spec(())] * 3
         out_shapes = [
             jax.ShapeDtypeStruct(a.shape, a.dtype)
             for a in (state.s, state.sd, state.p, state.q, state.v, state.m)
@@ -443,12 +476,14 @@ def build_pallas_rollout(engine: BatchedEngine, n_steps: int, policy=None):
         s, sd, p, q, v, m = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=state_specs + [full_spec(pr[k]) for k in param_order],
+            in_specs=state_specs + [full_spec(pr[k]) for k in param_order]
+            + extra_specs,
             out_specs=tuple(state_specs),
             out_shape=tuple(out_shapes),
         )(
             state.s, state.sd, state.p, state.q, state.v, state.m,
             *[pr[k] for k in param_order],
+            *extra_in,
         )
         return BatchedState(s=s, sd=sd, p=p, q=q, v=v, m=m)
 

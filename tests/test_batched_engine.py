@@ -273,3 +273,63 @@ def test_pallas_rollout_kernel_interpret_small_model():
         assert_allclose(
             getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
         )
+
+
+def test_domain_randomization_engine():
+    """Per-env contact-parameter multipliers match separately-built models
+    with scaled parameters."""
+    model = js.JaxSimModel.build_from_model_description(models.build_sphere_urdf())
+    eng = BatchedEngine.build(model)
+
+    st = eng.init_state(2, base_position=(0.0, 0.0, 0.12))
+    domain = {
+        "Kmul": jnp.array([0.5, 2.0]),
+        "Dmul": jnp.array([1.0, 0.7]),
+        "mumul": jnp.array([1.0, 0.3]),
+    }
+    out = eng.rollout(st, 50, domain=domain)
+
+    # Reference: one engine per parameter set, scalar params.
+    for i, (km, dm, mm) in enumerate([(0.5, 1.0, 1.0), (2.0, 0.7, 0.3)]):
+        m_i = model.replace(
+            contact_params=model.contact_params.replace(
+                K=model.contact_params.K * km,
+                D=model.contact_params.D * dm,
+                mu=model.contact_params.mu * mm,
+            )
+        )
+        eng_i = BatchedEngine.build(m_i)
+        ref = eng_i.rollout(eng_i.init_state(1, base_position=(0.0, 0.0, 0.12)), 50)
+        assert_allclose(out.p[:, i], ref.p[:, 0], rtol=1e-4, atol=1e-5)
+        assert_allclose(out.v[:, i], ref.v[:, 0], rtol=1e-4, atol=1e-4)
+
+    # The two envs actually diverged (different stiffness -> different settle).
+    assert not np.allclose(np.asarray(out.p[2, 0]), np.asarray(out.p[2, 1]))
+
+
+def test_domain_randomization_pallas_interpret():
+    """The fused rollout with per-env multiplier tiles matches the engine."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    B = 1024
+    st = eng.init_state(B, base_position=(0.0, 0.0, 0.35))
+    key = jax.random.PRNGKey(5)
+    Kmul = jnp.exp(0.3 * jax.random.normal(key, (B,)))
+
+    ref = eng.rollout(st, 3, domain={"Kmul": Kmul})
+
+    run = ps.build_pallas_rollout(eng, 3, domain=True)
+    tile = lambda a: a.reshape(a.shape[:-1] + (-1, 128))
+    with pltpu.force_tpu_interpret_mode():
+        out = ps.untile_state(run(ps.tile_state(st), Kmul=tile(Kmul)))
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )
+
+    with pytest.raises(ValueError, match="tile shape"):
+        run(ps.tile_state(st), Kmul=Kmul)  # untiled (B,) shape rejected

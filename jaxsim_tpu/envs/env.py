@@ -24,7 +24,9 @@ from jaxsim_tpu.utils import pytree_dataclass
 
 
 @functools.lru_cache(maxsize=32)
-def _build_fused_eval(env: "BatchedEnv", n_steps: int, policy, linear: bool):
+def _build_fused_eval(
+    env: "BatchedEnv", n_steps: int, policy, linear: bool, domain: bool
+):
     """Cache the built (and jitted) eval-rollout per (env, horizon, policy)
     so repeated fused_eval_rollout calls reuse the compiled kernel."""
     from jaxsim_tpu.ops import pallas_step as ps
@@ -38,6 +40,7 @@ def _build_fused_eval(env: "BatchedEnv", n_steps: int, policy, linear: bool):
             episode_length=env.episode_length,
             healthy_z_range=env.healthy_z_range,
             linear_policy=linear,
+            domain=domain,
         )
     )
 
@@ -154,6 +157,7 @@ class BatchedEnv:
         policy: Callable | None = None,
         W=None,
         b=None,
+        domain: dict | None = None,
     ):
         """Policy-evaluation rollout fused into ONE Pallas kernel launch:
         step + termination/truncation + auto-reset run entirely in VMEM
@@ -171,6 +175,10 @@ class BatchedEnv:
           shape ``(n_joints, 2·n_joints + 11)`` over the default observation
           ``[s, sd, q, v, p_z]``.
 
+        ``domain``: optional dict of per-env contact multipliers
+        (``Kmul``/``Dmul``/``mumul``, each shape ``(batch_size,)``) for
+        call-time domain randomization.
+
         Auto-reset respawns at the episode-start state without reset noise.
         Returns ``(final_sim, reward_sum (B,), resets (B,))``.
         """
@@ -182,13 +190,24 @@ class BatchedEnv:
             )
         if W is not None and policy is not None:
             raise ValueError("pass either policy (closure) or W/b (linear), not both")
+        dkw = {}
+        if domain is not None:
+            bad = set(domain) - {"Kmul", "Dmul", "mumul"}
+            if bad:
+                raise ValueError(f"unknown domain multipliers: {sorted(bad)}")
+            dkw = {
+                k: jnp.asarray(v, dtype=jnp.float32).reshape(-1, ps.TILE_LANE)
+                for k, v in domain.items()
+            }
         sim = self._fresh_sim(batch_size, key)
-        run = _build_fused_eval(self, n_steps, policy, W is not None)
+        run = _build_fused_eval(
+            self, n_steps, policy, W is not None, domain is not None
+        )
         if W is not None:
             b = b if b is not None else jnp.zeros((self.engine.n_joints, 1))
-            final, rew, resets, _ = run(ps.tile_state(sim), W, b)
+            final, rew, resets, _ = run(ps.tile_state(sim), W, b, **dkw)
         else:
-            final, rew, resets, _ = run(ps.tile_state(sim))
+            final, rew, resets, _ = run(ps.tile_state(sim), **dkw)
         return (
             ps.untile_state(final),
             rew.reshape(-1),

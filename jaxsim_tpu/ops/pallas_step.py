@@ -230,7 +230,7 @@ def _linear_policy_tau(st: BatchedState, W, b, n_joints: int):
 
 def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
                         episode_length: int, z_lo: float, z_hi: float,
-                        linear_policy: bool,
+                        linear_policy: bool, domain: bool,
                         *refs):
     """RL evaluation rollout in one kernel: step + termination/truncation +
     auto-reset to the episode-start state, with per-env reward accumulation.
@@ -238,26 +238,28 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
     The respawn target is the kernel's own input tile (the episode-start
     state), so auto-reset costs no extra inputs or HBM traffic. With
     ``linear_policy`` the torques are ``W @ obs + b`` where W/b are
-    call-time kernel inputs (weight updates don't recompile).
+    call-time kernel inputs (weight updates don't recompile); with
+    ``domain``, per-env Kmul/Dmul/mumul tiles randomize contact params.
     """
-    if linear_policy:
-        (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
-         S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
-         W_ref, b_ref,
-         s_out, sd_out, p_out, q_out, v_out, m_out,
-         rew_out, resets_out, steps_out) = refs
-        n = s_ref.shape[0]
-        W, b = W_ref[:], b_ref[:]
-        policy = lambda st: _linear_policy_tau(st, W, b, n)
-    else:
-        (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
-         S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
-         s_out, sd_out, p_out, q_out, v_out, m_out,
-         rew_out, resets_out, steps_out) = refs
+    (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
+     S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref) = refs[:12]
+    k = 12
     pr = dict(
         S=S_ref[:], M=M_ref[:], axis=axis_ref[:],
         lamH=lamH_ref[:], sucH=sucH_ref[:], cpoint=cpoint_ref[:],
     )
+    if domain:
+        pr["Kmul"], pr["Dmul"], pr["mumul"] = (
+            refs[k][:], refs[k + 1][:], refs[k + 2][:]
+        )
+        k += 3
+    if linear_policy:
+        n = s_ref.shape[0]
+        W, b = refs[k][:], refs[k + 1][:]
+        k += 2
+        policy = lambda st: _linear_policy_tau(st, W, b, n)
+    (s_out, sd_out, p_out, q_out, v_out, m_out,
+     rew_out, resets_out, steps_out) = refs[k:k + 9]
     init = (s_ref[:], sd_ref[:], p_ref[:], q_ref[:], v_ref[:], m_ref[:])
     tile = init[2].shape[1:]
     carry0 = init + (
@@ -321,6 +323,7 @@ def build_pallas_env_rollout(
     episode_length: int = 1000,
     healthy_z_range: tuple = (0.4, 2.0),
     linear_policy: bool = False,
+    domain: bool = False,
 ):
     """Return a jittable rollout running an auto-resetting RL evaluation
     inside ONE kernel launch per batch tile (state shapes as in
@@ -336,6 +339,10 @@ def build_pallas_env_rollout(
     evaluating updated policy weights does not recompile the kernel. The
     observation is ``[s, sd, q, v, p_z]`` (see :func:`obs_dim`). Otherwise
     the fn is ``state -> (...)`` with a compile-time ``policy`` closure.
+
+    With ``domain=True`` the fn additionally takes per-env contact
+    multiplier tiles ``Kmul/Dmul/mumul`` shaped like ``state.p[2]``
+    (keyword args, after W/b when both are enabled).
     """
     if not linear_policy:
         policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
@@ -345,10 +352,11 @@ def build_pallas_env_rollout(
 
     kernel = functools.partial(
         _env_rollout_kernel, engine, policy, reward, n_steps,
-        int(episode_length), z_lo, z_hi, linear_policy,
+        int(episode_length), z_lo, z_hi, linear_policy, domain,
     )
 
-    def rollout(state: BatchedState, W=None, b=None):
+    def rollout(state: BatchedState, W=None, b=None,
+                Kmul=None, Dmul=None, mumul=None):
         B1 = state.p.shape[-2]
         assert B1 % TILE_SUB == 0
         grid = (B1 // TILE_SUB,)
@@ -375,6 +383,20 @@ def build_pallas_env_rollout(
 
         param_order = ["S", "M", "axis", "lamH", "sucH", "cpoint"]
         extra_in, extra_specs = [], []
+        tile_shape = state.p.shape[1:]
+        if domain:
+            for name, mul in (("Kmul", Kmul), ("Dmul", Dmul), ("mumul", mumul)):
+                mul = jnp.asarray(
+                    mul if mul is not None else jnp.ones(tile_shape),
+                    dtype=jnp.float32,
+                )
+                if mul.shape != tile_shape:
+                    raise ValueError(
+                        f"{name} must have the per-env tile shape"
+                        f" {tile_shape}; got {mul.shape}"
+                    )
+                extra_in.append(mul)
+                extra_specs.append(spec(()))
         if linear_policy:
             W = jnp.asarray(W, dtype=jnp.float32)
             b = jnp.reshape(jnp.asarray(b, dtype=jnp.float32), (n, 1))
@@ -382,9 +404,8 @@ def build_pallas_env_rollout(
                 raise ValueError(
                     f"W must have shape ({n}, {obs_dim(n)}); got {W.shape}"
                 )
-            extra_in = [W, b]
-            extra_specs = [full_spec(W), full_spec(b)]
-        tile_shape = state.p.shape[1:]
+            extra_in += [W, b]
+            extra_specs += [full_spec(W), full_spec(b)]
         out_shapes = [
             jax.ShapeDtypeStruct(a.shape, a.dtype)
             for a in (state.s, state.sd, state.p, state.q, state.v, state.m)

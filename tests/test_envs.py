@@ -195,6 +195,27 @@ def test_fused_eval_rollout_wrapper():
         )
     assert np.isfinite(np.asarray(rew_w)).all()
 
+    # Domain randomization composes with the linear policy: different
+    # stiffness multipliers change the outcome through the same kernel.
+    # Spawn in penetration so the contacts actually engage.
+    import dataclasses
+
+    env_c = dataclasses.replace(
+        _env(reset_noise_std=0.0, healthy_z_range=(-1.0, 2.0)),
+        reset_base_position=(0.0, 0.0, -0.01),
+    )
+    k1 = jnp.ones(1024)
+    k2 = jnp.exp(0.5 * jax.random.normal(jax.random.PRNGKey(9), (1024,)))
+    with pltpu.force_tpu_interpret_mode():
+        _, rA, _ = env_c.fused_eval_rollout(
+            jax.random.PRNGKey(0), 1024, 5, W=W, domain={"Kmul": k1}
+        )
+        _, rB, _ = env_c.fused_eval_rollout(
+            jax.random.PRNGKey(0), 1024, 5, W=W, domain={"Kmul": k2}
+        )
+    assert np.isfinite(np.asarray(rA)).all() and np.isfinite(np.asarray(rB)).all()
+    assert not np.allclose(np.asarray(rA), np.asarray(rB))
+
     import pytest
 
     with pytest.raises(ValueError, match="multiple of"):
@@ -202,6 +223,10 @@ def test_fused_eval_rollout_wrapper():
     with pytest.raises(ValueError, match="not both"):
         env.fused_eval_rollout(
             jax.random.PRNGKey(0), 1024, 5, policy=lambda s: s.s, W=W
+        )
+    with pytest.raises(ValueError, match="unknown domain"):
+        env.fused_eval_rollout(
+            jax.random.PRNGKey(0), 1024, 5, domain={"Kscale": k1}
         )
 
 

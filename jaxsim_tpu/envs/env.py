@@ -92,7 +92,9 @@ class BatchedEnv:
     def _reward(self, prev: BatchedState, action, new: BatchedState):
         if self.reward_fn is not None:
             return self.reward_fn(prev, action, new)
-        upright = new.p[2]
+        # Height clamped so a diverging env cannot bank an arbitrarily large
+        # reward on its final pre-reset transition (matches the fused kernel).
+        upright = jnp.minimum(new.p[2], 2.0)
         ctrl_cost = 0.001 * jnp.sum(action * action, axis=0)
         return upright - ctrl_cost
 

@@ -214,23 +214,29 @@ def obs_dim(n_joints: int) -> int:
     return 2 * n_joints + 11
 
 
-def _linear_policy_tau(st: BatchedState, W, b, n_joints: int):
-    """``tau = W @ obs + b`` unrolled into static-indexed scalar MACs over
-    batch tiles (Mosaic-safe; W/b are call-time VMEM inputs, so updated
-    policy weights do NOT trigger a kernel recompile)."""
+def _linear_policy_tau(st: BatchedState, getW, getb, n_joints: int,
+                       tau_limit=None):
+    """``tau = W @ obs + b`` unrolled into scalar MACs over batch tiles.
+    ``getW(a, k)``/``getb(a)`` read the weights as SCALARS — from SMEM refs
+    in the kernel (W/b are call-time inputs, so updated policy weights do
+    NOT trigger a kernel recompile; scalar reads from VMEM-loaded arrays
+    mis-lower in Mosaic for unaligned minor dims, hence SMEM).
+    ``tau_limit`` clips torques to ±limit (actuator saturation)."""
     rows = _obs_rows(st)
     taus = []
     for a in range(n_joints):
-        acc = b[a, 0] + W[a, 0] * rows[0]
+        acc = getb(a) + getW(a, 0) * rows[0]
         for k in range(1, len(rows)):
-            acc = acc + W[a, k] * rows[k]
+            acc = acc + getW(a, k) * rows[k]
+        if tau_limit is not None:
+            acc = jnp.clip(acc, -tau_limit, tau_limit)
         taus.append(acc)
     return jnp.stack(taus)
 
 
 def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
                         episode_length: int, z_lo: float, z_hi: float,
-                        linear_policy: bool, domain: bool,
+                        linear_policy: bool, domain: bool, tau_limit,
                         *refs):
     """RL evaluation rollout in one kernel: step + termination/truncation +
     auto-reset to the episode-start state, with per-env reward accumulation.
@@ -255,9 +261,17 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
         k += 3
     if linear_policy:
         n = s_ref.shape[0]
-        W, b = refs[k][:], refs[k + 1][:]
+        W_ref, b_ref = refs[k], refs[k + 1]
         k += 2
-        policy = lambda st: _linear_policy_tau(st, W, b, n)
+        if len(W_ref.shape) == 3:
+            # Per-tile population weights: SMEM block (1, n, d) selected by
+            # the grid index_map — this tile reads its own candidate.
+            getW = lambda a, kk: W_ref[0, a, kk]
+            getb = lambda a: b_ref[0, a, 0]
+        else:
+            getW = lambda a, kk: W_ref[a, kk]
+            getb = lambda a: b_ref[a, 0]
+        policy = lambda st: _linear_policy_tau(st, getW, getb, n, tau_limit)
     (s_out, sd_out, p_out, q_out, v_out, m_out,
      rew_out, resets_out, steps_out) = refs[k:k + 9]
     init = (s_ref[:], sd_ref[:], p_ref[:], q_ref[:], v_ref[:], m_ref[:])
@@ -309,10 +323,12 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
 
 def _default_reward(st, tau, new):
     # Upright-height bonus minus control cost (matches envs.BatchedEnv).
+    # The height term is clamped so a diverging env cannot bank an
+    # arbitrarily large reward on its final pre-reset transition.
     ctrl = tau[0] * tau[0]
     for i in range(1, tau.shape[0]):
         ctrl = ctrl + tau[i] * tau[i]
-    return new.p[2] - 0.001 * ctrl
+    return jnp.minimum(new.p[2], 2.0) - 0.001 * ctrl
 
 
 def build_pallas_env_rollout(
@@ -324,10 +340,17 @@ def build_pallas_env_rollout(
     healthy_z_range: tuple = (0.4, 2.0),
     linear_policy: bool = False,
     domain: bool = False,
+    per_tile_weights: bool = False,
+    tau_limit: float | None = None,
 ):
     """Return a jittable rollout running an auto-resetting RL evaluation
     inside ONE kernel launch per batch tile (state shapes as in
     :func:`build_pallas_step`).
+
+    With ``per_tile_weights=True`` (requires ``linear_policy``), W/b carry a
+    leading population axis of size ``B1 / 8`` (one candidate per (8, 128)
+    env tile): a single launch evaluates the whole POPULATION of policies,
+    each on its own 1024-env slice — the primitive for evolution strategies.
 
     Episodes terminate when base height leaves ``healthy_z_range`` or at
     ``episode_length`` steps; the env respawns at its episode-start state.
@@ -346,6 +369,8 @@ def build_pallas_env_rollout(
     """
     if not linear_policy:
         policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
+    if per_tile_weights and not linear_policy:
+        raise ValueError("per_tile_weights requires linear_policy=True")
     reward = reward or _default_reward
     n, nC = engine.n_joints, engine.n_points
     z_lo, z_hi = float(healthy_z_range[0]), float(healthy_z_range[1])
@@ -353,6 +378,7 @@ def build_pallas_env_rollout(
     kernel = functools.partial(
         _env_rollout_kernel, engine, policy, reward, n_steps,
         int(episode_length), z_lo, z_hi, linear_policy, domain,
+        float(tau_limit) if tau_limit is not None else None,
     )
 
     def rollout(state: BatchedState, W=None, b=None,
@@ -398,14 +424,41 @@ def build_pallas_env_rollout(
                 extra_in.append(mul)
                 extra_specs.append(spec(()))
         if linear_policy:
+            # Weights live in SMEM: the kernel reads them as scalars, the
+            # supported Mosaic pattern (VMEM scalar extraction mis-lowers
+            # for unaligned minor dims).
             W = jnp.asarray(W, dtype=jnp.float32)
-            b = jnp.reshape(jnp.asarray(b, dtype=jnp.float32), (n, 1))
-            if W.shape != (n, obs_dim(n)):
-                raise ValueError(
-                    f"W must have shape ({n}, {obs_dim(n)}); got {W.shape}"
+            if per_tile_weights:
+                n_tiles = B1 // TILE_SUB
+                if W.shape != (n_tiles, n, obs_dim(n)):
+                    raise ValueError(
+                        f"per-tile W must have shape"
+                        f" ({n_tiles}, {n}, {obs_dim(n)}) for this batch;"
+                        f" got {W.shape}"
+                    )
+                b = jnp.reshape(
+                    jnp.asarray(b, dtype=jnp.float32), (n_tiles, n, 1)
                 )
-            extra_in += [W, b]
-            extra_specs += [full_spec(W), full_spec(b)]
+                smem_tile = lambda a: pl.BlockSpec(
+                    (1,) + a.shape[1:],
+                    (lambda i, _nd=a.ndim: (i,) + (0,) * (_nd - 1)),
+                    memory_space=pltpu.SMEM,
+                )
+                extra_in += [W, b]
+                extra_specs += [smem_tile(W), smem_tile(b)]
+            else:
+                b = jnp.reshape(jnp.asarray(b, dtype=jnp.float32), (n, 1))
+                if W.shape != (n, obs_dim(n)):
+                    raise ValueError(
+                        f"W must have shape ({n}, {obs_dim(n)}); got {W.shape}"
+                    )
+                smem_full = lambda a: pl.BlockSpec(
+                    a.shape,
+                    (lambda i, _nd=a.ndim: (0,) * _nd),
+                    memory_space=pltpu.SMEM,
+                )
+                extra_in += [W, b]
+                extra_specs += [smem_full(W), smem_full(b)]
         out_shapes = [
             jax.ShapeDtypeStruct(a.shape, a.dtype)
             for a in (state.s, state.sd, state.p, state.q, state.v, state.m)

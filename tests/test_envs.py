@@ -83,7 +83,7 @@ def test_pallas_env_rollout_interpret_matches_reference():
         steps = steps + 1
         z = new.p[2]
         done = (z < z_rng[0]) | (z > z_rng[1]) | (steps >= ep_len)
-        rew_sum = rew_sum + new.p[2] - 0.001 * jnp.sum(tau * tau, axis=0)
+        rew_sum = rew_sum + jnp.minimum(new.p[2], 2.0) - 0.001 * jnp.sum(tau * tau, axis=0)
         sim = jax.tree.map(lambda f, n_: jnp.where(done, f, n_), init, new)
         steps = jnp.where(done, 0, steps)
         resets = resets + done.astype(jnp.int32)
@@ -143,7 +143,7 @@ def test_pallas_env_rollout_linear_policy():
         new = eng.step(sim, tau)
         steps = steps + 1
         done = (new.p[2] < z_rng[0]) | (new.p[2] > z_rng[1]) | (steps >= ep_len)
-        rew_ref = rew_ref + new.p[2] - 0.001 * jnp.sum(tau * tau, axis=0)
+        rew_ref = rew_ref + jnp.minimum(new.p[2], 2.0) - 0.001 * jnp.sum(tau * tau, axis=0)
         sim = jax.tree.map(lambda f, n_: jnp.where(done, f, n_), init, new)
         steps = jnp.where(done, 0, steps)
         resets_ref = resets_ref + done.astype(jnp.int32)
@@ -169,6 +169,50 @@ def test_pallas_env_rollout_linear_policy():
 
     with pytest.raises(ValueError, match="W must have shape"):
         run_linear(st, jnp.zeros((n, d + 1)), b)
+
+
+def test_per_tile_population_weights():
+    """One launch with per-tile W evaluates each policy candidate on its own
+    1024-env tile, matching separate single-policy launches."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    n, d = eng.n_joints, ps.obs_dim(eng.n_joints)
+
+    key = jax.random.PRNGKey(11)
+    W_pop = 0.1 * jax.random.normal(key, (2, n, d))  # two candidates
+    b_pop = jnp.zeros((2, n, 1))
+
+    kw = dict(episode_length=4, healthy_z_range=(0.05, 2.0))
+    st2 = ps.tile_state(eng.init_state(2048, base_position=(0.0, 0.0, 0.35)))
+    run_pop = ps.build_pallas_env_rollout(
+        eng, 5, linear_policy=True, per_tile_weights=True, **kw
+    )
+    st1 = ps.tile_state(eng.init_state(1024, base_position=(0.0, 0.0, 0.35)))
+    run_one = ps.build_pallas_env_rollout(eng, 5, linear_policy=True, **kw)
+
+    with pltpu.force_tpu_interpret_mode():
+        _, rew_pop, _, _ = run_pop(st2, W_pop, b_pop)
+        _, rew_0, _, _ = run_one(st1, W_pop[0], b_pop[0])
+        _, rew_1, _, _ = run_one(st1, W_pop[1], b_pop[1])
+
+    np.testing.assert_allclose(
+        np.asarray(rew_pop[:8]), np.asarray(rew_0), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(rew_pop[8:]), np.asarray(rew_1), rtol=1e-5, atol=1e-5
+    )
+    assert not np.allclose(np.asarray(rew_0), np.asarray(rew_1))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="per-tile W"):
+        run_pop(st2, W_pop[0], b_pop[0])
+    with pytest.raises(ValueError, match="requires linear_policy"):
+        ps.build_pallas_env_rollout(eng, 5, per_tile_weights=True, **kw)
 
 
 def test_fused_eval_rollout_wrapper():

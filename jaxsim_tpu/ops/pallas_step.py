@@ -237,6 +237,7 @@ def _linear_policy_tau(st: BatchedState, getW, getb, n_joints: int,
 def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
                         episode_length: int, z_lo: float, z_hi: float,
                         linear_policy: bool, domain: bool, tau_limit,
+                        reset_noise: float,
                         *refs):
     """RL evaluation rollout in one kernel: step + termination/truncation +
     auto-reset to the episode-start state, with per-env reward accumulation.
@@ -272,10 +273,28 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
             getW = lambda a, kk: W_ref[a, kk]
             getb = lambda a: b_ref[a, 0]
         policy = lambda st: _linear_policy_tau(st, getW, getb, n, tau_limit)
+    if reset_noise > 0.0:
+        seed_ref = refs[k]
+        k += 1
+        # Decorrelate tiles: each grid step gets its own PRNG stream.
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     (s_out, sd_out, p_out, q_out, v_out, m_out,
      rew_out, resets_out, steps_out) = refs[k:k + 9]
     init = (s_ref[:], sd_ref[:], p_ref[:], q_ref[:], v_ref[:], m_ref[:])
     tile = init[2].shape[1:]
+
+    def _respawn_base_position():
+        """Episode-start base position, plus fresh uniform noise with std
+        ``reset_noise`` (√3-scaled half-width) drawn in-kernel per step."""
+        if reset_noise <= 0.0:
+            return init[2]
+        half = reset_noise * (3.0 ** 0.5)
+        rows = []
+        for _ in range(3):
+            bits = pltpu.prng_random_bits(tile)
+            u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+            rows.append(half * (2.0 * u - 1.0))
+        return init[2] + jnp.stack(rows)
     carry0 = init + (
         jnp.zeros(tile, dtype=jnp.int32),  # steps in episode
         jnp.zeros(tile, dtype=jnp.float32),  # reward sum
@@ -298,7 +317,9 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
             )
             r = reward(st, tau, new)
 
-            nxt = tuple(_sel(done, f, n) for f, n in zip(init, (
+            fresh = (init[0], init[1], _respawn_base_position(),
+                     init[3], init[4], init[5])
+            nxt = tuple(_sel(done, f, n) for f, n in zip(fresh, (
                 new.s, new.sd, new.p, new.q, new.v, new.m)))
             return nxt + (
                 jnp.where(done, 0, steps1),
@@ -342,6 +363,7 @@ def build_pallas_env_rollout(
     domain: bool = False,
     per_tile_weights: bool = False,
     tau_limit: float | None = None,
+    reset_noise: float = 0.0,
 ):
     """Return a jittable rollout running an auto-resetting RL evaluation
     inside ONE kernel launch per batch tile (state shapes as in
@@ -366,6 +388,11 @@ def build_pallas_env_rollout(
     With ``domain=True`` the fn additionally takes per-env contact
     multiplier tiles ``Kmul/Dmul/mumul`` shaped like ``state.p[2]``
     (keyword args, after W/b when both are enabled).
+
+    With ``reset_noise > 0`` respawns perturb the episode-start base
+    position with in-kernel uniform noise of that standard deviation
+    (per-env, fresh each reset; the ``seed`` call-time kwarg decorrelates
+    calls, tiles decorrelate automatically).
     """
     if not linear_policy:
         policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
@@ -379,10 +406,11 @@ def build_pallas_env_rollout(
         _env_rollout_kernel, engine, policy, reward, n_steps,
         int(episode_length), z_lo, z_hi, linear_policy, domain,
         float(tau_limit) if tau_limit is not None else None,
+        float(reset_noise),
     )
 
     def rollout(state: BatchedState, W=None, b=None,
-                Kmul=None, Dmul=None, mumul=None):
+                Kmul=None, Dmul=None, mumul=None, seed=0):
         B1 = state.p.shape[-2]
         assert B1 % TILE_SUB == 0
         grid = (B1 // TILE_SUB,)
@@ -459,6 +487,12 @@ def build_pallas_env_rollout(
                 )
                 extra_in += [W, b]
                 extra_specs += [smem_full(W), smem_full(b)]
+        if reset_noise > 0.0:
+            seed_arr = jnp.reshape(jnp.asarray(seed, dtype=jnp.int32), (1,))
+            extra_in.append(seed_arr)
+            extra_specs.append(
+                pl.BlockSpec((1,), (lambda i: (0,)), memory_space=pltpu.SMEM)
+            )
         out_shapes = [
             jax.ShapeDtypeStruct(a.shape, a.dtype)
             for a in (state.s, state.sd, state.p, state.q, state.v, state.m)

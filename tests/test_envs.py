@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import jaxsim_tpu.api as js
 from jaxsim_tpu import models
@@ -169,6 +170,57 @@ def test_pallas_env_rollout_linear_policy():
 
     with pytest.raises(ValueError, match="W must have shape"):
         run_linear(st, jnp.zeros((n, d + 1)), b)
+
+
+def test_in_kernel_stochastic_resets():
+    """reset_noise > 0 builds/runs and perturbs respawns; reset_noise = 0
+    keeps respawns exact. NOTE: interpret-mode prng_random_bits returns
+    zeros, so the noise DISTRIBUTION can only be validated on real TPU
+    (test_in_kernel_stochastic_resets_tpu); here the noise path shows up
+    as the constant lower-bound offset."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    mk = lambda: ps.tile_state(eng.init_state(1024, base_position=(0.0, 0.0, 0.35)))
+
+    kw = dict(episode_length=2, healthy_z_range=(0.05, 2.0))
+    run = ps.build_pallas_env_rollout(eng, 6, reset_noise=0.02, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out, _, resets, steps = run(mk(), seed=7)
+
+    # Step 6 truncates: final state is a fresh respawn with noise applied.
+    assert np.asarray(resets).min() == 3 and np.asarray(steps).max() == 0
+    assert np.abs(np.asarray(out.p[0])).max() > 0.005  # offset applied
+
+    # reset_noise=0 keeps exact respawns.
+    run0 = ps.build_pallas_env_rollout(eng, 6, **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out0, _, _, _ = run0(mk())
+    np.testing.assert_allclose(np.asarray(out0.p[0]), 0.0, atol=1e-7)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs real TPU PRNG"
+)
+def test_in_kernel_stochastic_resets_tpu():
+    """On real hardware the respawn noise is per-env and seed-dependent."""
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    mk = lambda: ps.tile_state(eng.init_state(1024, base_position=(0.0, 0.0, 0.35)))
+    run = jax.jit(ps.build_pallas_env_rollout(
+        eng, 6, reset_noise=0.02, episode_length=2,
+        healthy_z_range=(0.05, 2.0),
+    ), static_argnames=())
+    out, _, _, _ = run(mk(), seed=7)
+    out2, _, _, _ = run(mk(), seed=8)
+    x = np.asarray(out.p[0]).ravel()
+    assert 0.005 < x.std() < 0.05
+    assert not np.allclose(np.asarray(out.p[0]), np.asarray(out2.p[0]))
 
 
 def test_per_tile_population_weights():

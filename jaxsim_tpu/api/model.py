@@ -756,11 +756,14 @@ def total_momentum_jacobian(
     J = M[0:6, :]
     if output_vel_repr is data.velocity_representation:
         return J
-    # Momentum is a force-like quantity: transform rows accordingly.
-    # h_O = O_Xf_I h_I: build via inertial intermediate.
-    raise NotImplementedError(
-        "total_momentum_jacobian with a different output representation"
-    )
+    # Momentum is a force-like covector: h_O = (C_X_O)^T h_C, where C is the
+    # data's base-velocity frame and O the requested output frame. Both frames
+    # are expressed relative to the body frame via _input_repr_transform
+    # (T = B_X_repr), so C_X_O = (B_X_C)^-1 @ B_X_O.
+    T_C = _input_repr_transform(model, data, data.velocity_representation)
+    T_O = _input_repr_transform(model, data, output_vel_repr)
+    C_X_O = jnp.linalg.solve(T_C, T_O)
+    return C_X_O.T @ J
 
 
 @named_scope

@@ -169,6 +169,21 @@ def test_momentum_and_com(humanoid_model, humanoid_data):
     assert_allclose(I_locked @ v_avg, h_G, rtol=1e-3, atol=1e-4)
 
 
+def test_total_momentum_jacobian_cross_representation(humanoid_model, humanoid_data):
+    """J(output=O) @ nu_C equals the momentum evaluated directly in repr O."""
+    model, data = humanoid_model, humanoid_data
+    for repr_c in ALL_REPRS:
+        d_c = with_repr(model, data, repr_c)
+        nu_c = d_c.generalized_velocity
+        for repr_o in ALL_REPRS:
+            d_o = with_repr(model, data, repr_o)
+            h_o = js.model.total_momentum(model, d_o)
+            J = js.model.total_momentum_jacobian(model, d_c, output_vel_repr=repr_o)
+            assert_allclose(
+                J @ nu_c, h_o, rtol=1e-4, atol=1e-5, err_msg=f"{repr_c}->{repr_o}"
+            )
+
+
 def test_com_velocity_vs_finite_difference(humanoid_model):
     model = humanoid_model
     data = js.data.random_model_data(model, key=jax.random.PRNGKey(11))

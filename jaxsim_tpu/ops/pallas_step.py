@@ -121,6 +121,205 @@ def build_pallas_step(engine: BatchedEngine, policy=None):
     return step
 
 
+def _step_tau_kernel(engine: BatchedEngine,
+                     s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref, tau_ref,
+                     S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
+                     s_out, sd_out, p_out, q_out, v_out, m_out):
+    """Fused step with the torques as a kernel INPUT tile (no policy
+    closure) — the forward primitive of the differentiable Pallas step."""
+    state = BatchedState(
+        s=s_ref[:], sd=sd_ref[:], p=p_ref[:], q=q_ref[:], v=v_ref[:],
+        m=m_ref[:],
+    )
+    pr = dict(
+        S=S_ref[:], M=M_ref[:], axis=axis_ref[:],
+        lamH=lamH_ref[:], sucH=sucH_ref[:], cpoint=cpoint_ref[:],
+    )
+    set_mosaic_mode(True)
+    try:
+        new = engine.step(state, tau_ref[:], pr)
+    finally:
+        set_mosaic_mode(False)
+    s_out[:] = new.s
+    sd_out[:] = new.sd
+    p_out[:] = new.p
+    q_out[:] = new.q
+    v_out[:] = new.v
+    m_out[:] = new.m
+
+
+def build_pallas_step_tau(engine: BatchedEngine):
+    """Return a jittable ``(state, tau) -> state`` fused step where
+    ``tau`` has shape ``(n_joints, B1, 128)`` (state shapes as in
+    :func:`build_pallas_step`)."""
+    n, nC = engine.n_joints, engine.n_points
+    kernel = functools.partial(_step_tau_kernel, engine)
+
+    def step(state: BatchedState, tau) -> BatchedState:
+        B1 = state.p.shape[-2]
+        assert B1 % TILE_SUB == 0, f"batch rows {B1} not a multiple of {TILE_SUB}"
+        grid = (B1 // TILE_SUB,)
+
+        def spec(lead):
+            nlead = len(lead)
+            return pl.BlockSpec(
+                lead + (TILE_SUB, TILE_LANE),
+                (lambda i, _n=nlead: (0,) * _n + (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+
+        state_specs = [
+            spec((n,)), spec((n,)), spec((3,)), spec((4,)), spec((6,)),
+            spec((nC, 3)),
+        ]
+        pr = engine.params()
+
+        def full_spec(a):
+            nd = a.ndim
+            return pl.BlockSpec(
+                a.shape, (lambda i, _n=nd: (0,) * _n), memory_space=pltpu.VMEM
+            )
+
+        param_order = ["S", "M", "axis", "lamH", "sucH", "cpoint"]
+        out_shapes = [
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (state.s, state.sd, state.p, state.q, state.v, state.m)
+        ]
+        s, sd, p, q, v, m = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=state_specs + [spec((n,))] + [full_spec(pr[k]) for k in param_order],
+            out_specs=tuple(state_specs),
+            out_shape=tuple(out_shapes),
+        )(
+            state.s, state.sd, state.p, state.q, state.v, state.m,
+            jnp.asarray(tau, dtype=jnp.float32),
+            *[pr[k] for k in param_order],
+        )
+        return BatchedState(s=s, sd=sd, p=p, q=q, v=v, m=m)
+
+    return step
+
+
+def build_diff_pallas_step(engine: BatchedEngine):
+    """Differentiable fused step: ``(state, tau) -> state`` whose FORWARD is
+    the Pallas kernel and whose BACKWARD is the VJP of the numerically
+    identical XLA engine step (SURVEY.md §7 "hard parts": fused kernels need
+    hand-written VJPs or a scan fallback — this is the fallback wired as a
+    ``custom_vjp``, so ``jax.grad`` through rollouts runs the hot forward at
+    Pallas speed).
+
+    Gradients flow to both the state (BPTT through the physics) and the
+    torques (policy-gradient / trajectory-optimization workloads). Memory
+    note: reverse-mode saves (state, tau) per step; wrap the step (or chunks
+    of the rollout) in ``jax.checkpoint`` for long horizons.
+    """
+    fwd_step = build_pallas_step_tau(engine)
+
+    @jax.custom_vjp
+    def step(state: BatchedState, tau) -> BatchedState:
+        return fwd_step(state, tau)
+
+    def step_fwd(state, tau):
+        return fwd_step(state, tau), (state, tau)
+
+    def step_bwd(residual, cotangent):
+        state, tau = residual
+        _, vjp_fn = jax.vjp(
+            lambda st, t: engine.step(st, t, engine.params()), state, tau
+        )
+        return vjp_fn(cotangent)
+
+    step.defvjp(step_fwd, step_bwd)
+    return step
+
+
+def build_diff_pallas_rollout(engine: BatchedEngine, n_steps: int,
+                              checkpoint_chunk: int | None = None):
+    """Return a differentiable ``(state, policy_fn, *policy_args) -> state``
+    rollout: each step's physics runs in the fused Pallas kernel, torques
+    come from ``policy_fn(state, *policy_args)`` evaluated in XLA (so policy
+    parameters get gradients), and reverse-mode AD replays the backward pass
+    through the XLA engine.
+
+    With ``checkpoint_chunk`` residual memory is bounded to the chunk
+    boundaries: each chunk is a chunk-level ``custom_vjp`` whose forward runs
+    the fused Pallas steps saving ONLY the chunk's input state, and whose
+    backward recomputes the chunk with the XLA engine and differentiates it
+    (gradient checkpointing without ``jax.checkpoint``, which cannot
+    rematerialize a ``pallas_call``).
+    """
+    per_step = build_diff_pallas_step(engine)
+
+    def run_steps(state, policy_fn, policy_args, length):
+        def body(st, _):
+            return per_step(st, policy_fn(st, *policy_args)), None
+
+        out, _ = jax.lax.scan(body, state, None, length=length)
+        return out
+
+    def xla_steps(state, policy_fn, policy_args, length):
+        def body(st, _):
+            return engine.step(st, policy_fn(st, *policy_args), engine.params()), None
+
+        out, _ = jax.lax.scan(body, state, None, length=length)
+        return out
+
+    def pallas_steps_fwd_only(state, policy_fn, policy_args, length):
+        step_tau = build_pallas_step_tau(engine)
+
+        def body(st, _):
+            return step_tau(st, policy_fn(st, *policy_args)), None
+
+        out, _ = jax.lax.scan(body, state, None, length=length)
+        return out
+
+    def make_chunk(length):
+        @jax.custom_vjp
+        def chunk(state, policy_args):
+            return pallas_steps_fwd_only(state, policy_fn_holder[0], policy_args, length)
+
+        def chunk_fwd(state, policy_args):
+            return chunk(state, policy_args), (state, policy_args)
+
+        def chunk_bwd(residual, cotangent):
+            state, policy_args = residual
+            _, vjp_fn = jax.vjp(
+                lambda st, a: xla_steps(st, policy_fn_holder[0], a, length),
+                state,
+                policy_args,
+            )
+            return vjp_fn(cotangent)
+
+        chunk.defvjp(chunk_fwd, chunk_bwd)
+        return chunk
+
+    # policy_fn arrives at call time but the custom_vjp chunks are built once;
+    # a one-slot holder threads it through without retracing machinery.
+    policy_fn_holder = [None]
+    chunks = {}
+
+    def rollout(state: BatchedState, policy_fn, *policy_args) -> BatchedState:
+        policy_fn_holder[0] = policy_fn
+        if checkpoint_chunk is None:
+            return run_steps(state, policy_fn, policy_args, n_steps)
+        n_chunks, rem = divmod(n_steps, checkpoint_chunk)
+        if checkpoint_chunk not in chunks:
+            chunks[checkpoint_chunk] = make_chunk(checkpoint_chunk)
+        if rem and rem not in chunks:
+            chunks[rem] = make_chunk(rem)
+
+        def body(st, _):
+            return chunks[checkpoint_chunk](st, policy_args), None
+
+        state, _ = jax.lax.scan(body, state, None, length=n_chunks)
+        if rem:
+            state = chunks[rem](state, policy_args)
+        return state
+
+    return rollout
+
+
 def pallas_rollout(engine: BatchedEngine, state: BatchedState, n_steps: int, policy=None):
     """lax.scan rollout over the fused kernel."""
     step = build_pallas_step(engine, policy)

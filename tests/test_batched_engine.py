@@ -333,3 +333,90 @@ def test_domain_randomization_pallas_interpret():
 
     with pytest.raises(ValueError, match="tile shape"):
         run(ps.tile_state(st), Kmul=Kmul)  # untiled (B,) shape rejected
+
+
+def test_diff_pallas_step_gradients_match_engine():
+    """build_diff_pallas_step: forward (interpret-mode Pallas) matches the
+    engine step, and jax.grad through it w.r.t. state and torques matches
+    jax.grad through the plain engine step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024, key=jax.random.PRNGKey(2)))
+    tau = 0.3 * jax.random.normal(
+        jax.random.PRNGKey(3), (eng.n_joints,) + st.p.shape[1:]
+    )
+    step = ps.build_diff_pallas_step(eng)
+
+    def loss_pallas(st_, tau_):
+        new = step(st_, tau_)
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    def loss_engine(st_, tau_):
+        new = eng.step(st_, tau_)
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = step(st, tau)
+        g_st, g_tau = jax.grad(loss_pallas, argnums=(0, 1))(st, tau)
+    ref = eng.step(st, tau)
+    rg_st, rg_tau = jax.grad(loss_engine, argnums=(0, 1))(st, tau)
+
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )
+        assert_allclose(
+            getattr(g_st, f), getattr(rg_st, f), rtol=1e-4, atol=1e-5,
+            err_msg=f"grad {f}",
+        )
+    assert_allclose(g_tau, rg_tau, rtol=1e-4, atol=1e-5, err_msg="grad tau")
+    assert float(jnp.abs(g_tau).max()) > 0.0
+
+
+def test_diff_pallas_rollout_policy_gradient():
+    """build_diff_pallas_rollout: gradients flow to XLA-side policy
+    parameters through the fused Pallas steps (with and without
+    checkpointing), matching the all-XLA engine rollout."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024, key=jax.random.PRNGKey(4)))
+    import dataclasses
+
+    st = dataclasses.replace(
+        st,
+        s=0.2 * jax.random.normal(jax.random.PRNGKey(5), st.s.shape),
+        sd=0.1 * jax.random.normal(jax.random.PRNGKey(6), st.sd.shape),
+    )
+    gains0 = jnp.array([5.0, 0.1])
+
+    def policy(st_, gains):
+        return -gains[0] * st_.s - gains[1] * st_.sd
+
+    def loss_engine(gains):
+        def body(s, _):
+            return eng.step(s, policy(s, gains)), None
+
+        out, _ = jax.lax.scan(body, st, None, length=4)
+        return jnp.mean(out.sd**2)
+
+    ref_loss, ref_grad = jax.value_and_grad(loss_engine)(gains0)
+
+    for chunk in (None, 2):
+        rollout = ps.build_diff_pallas_rollout(eng, 4, checkpoint_chunk=chunk)
+
+        def loss_pallas(gains):
+            return jnp.mean(rollout(st, policy, gains).sd**2)
+
+        with pltpu.force_tpu_interpret_mode():
+            val, grad = jax.value_and_grad(loss_pallas)(gains0)
+        assert_allclose(val, ref_loss, rtol=1e-5, atol=1e-6, err_msg=f"chunk={chunk}")
+        assert_allclose(grad, ref_grad, rtol=1e-4, atol=1e-6, err_msg=f"chunk={chunk}")
+        assert float(jnp.abs(grad).max()) > 0.0

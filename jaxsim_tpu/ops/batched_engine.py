@@ -291,6 +291,10 @@ class BatchedEngine:
     # The default (ẑ, 0) keeps the specialized flat-ground code path.
     terrain_normal: tuple = (0.0, 0.0, 1.0)
     terrain_offset: float = 0.0
+    # Fixed-step integrator: "sie" (semi-implicit Euler), "rk4", or
+    # "rk4fast" (RK4 with contact forces frozen at t0) — mirrors the generic
+    # api.integrators choices (reference ``api/integrators.py``).
+    integrator: str = "sie"
 
     # Numeric model arrays, kept as nested tuples (hashable, numpy-convertible).
     _S: tuple = dataclasses.field(repr=False, default=())
@@ -306,8 +310,8 @@ class BatchedEngine:
         from jaxsim_tpu.terrain import FlatTerrain
 
         # The fused hot path implements flat/inclined-plane terrain and soft
-        # contacts with semi-implicit Euler; other configurations use the
-        # generic js.model.step path.
+        # contacts with all three fixed-step integrators (SIE / RK4 /
+        # RK4-fast); other configurations use the generic js.model.step path.
         if not isinstance(model.terrain, FlatTerrain):
             raise ValueError(
                 "BatchedEngine supports flat/plane terrain; use the generic"
@@ -322,6 +326,13 @@ class BatchedEngine:
                 "BatchedEngine implements soft contacts; use the generic"
                 " js.model.step path for rigid/relaxed-rigid models"
             )
+        from jaxsim_tpu.api.model import IntegratorType
+
+        integrator = {
+            IntegratorType.SemiImplicitEuler: "sie",
+            IntegratorType.RungeKutta4: "rk4",
+            IntegratorType.RungeKutta4Fast: "rk4fast",
+        }[model.integrator]
         kdp = model.kin_dyn_parameters
         cp = kdp.contact_parameters
         idx = cp.indices_of_enabled_collidable_points
@@ -343,6 +354,7 @@ class BatchedEngine:
             floating_base=model.floating_base(),
             terrain_normal=t_normal,
             terrain_offset=t_offset,
+            integrator=integrator,
             _S=_freeze(kdp.motion_subspaces),
             _M_links=_freeze(kdp.link_parameters.spatial_inertia()),
             _joint_axis=_freeze(kdp.joint_model.joint_axis),
@@ -721,13 +733,99 @@ class BatchedEngine:
 
     # ----- the step -----
 
-    def step(
-        self, state: BatchedState, tau: jtp.Array | None = None, pr=None
+    @staticmethod
+    def _quat_derivative(q, omega, K: float = 0.0):
+        """q̇ = ½ [0, ω] ⊗ q with inertial-fixed ω and optional Baumgarte
+        norm stabilization r₀ = K‖ω‖(1-‖q‖) (matches
+        ``math.Quaternion.derivative`` with ``omega_in_body_fixed=False``)."""
+        qw, qx, qy, qz = q[0], q[1], q[2], q[3]
+        ox, oy, oz = omega[0], omega[1], omega[2]
+        qd = 0.5 * jnp.stack(
+            [
+                -qx * ox - qy * oy - qz * oz,
+                qw * ox - qy * oz + qz * oy,
+                qw * oy + qx * oz - qz * ox,
+                qw * oz - qx * oy + qy * ox,
+            ]
+        )
+        if K:
+            nw = jnp.sqrt(jnp.maximum(ox * ox + oy * oy + oz * oz, 1e-14))
+            nq = jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=0), 1e-14))
+            # First column of the Ω-matrix is q itself, so the Baumgarte
+            # term contributes ½ r₀ q.
+            qd = qd + (0.5 * K) * (nw * (1.0 - nq)) * q
+        return qd
+
+    @staticmethod
+    def _normalize_quat(q):
+        return q / jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=0), 1e-12))
+
+    def derivatives(
+        self,
+        state: BatchedState,
+        tau: jtp.Array | None = None,
+        pr=None,
+        frozen_contacts=None,
     ) -> BatchedState:
-        """One semi-implicit Euler step with soft contacts (trailing batch)."""
+        """Continuous-time state derivative ẏ — the engine analog of
+        ``js.ode.system_dynamics`` (reference ``api/ode.py:174-225``),
+        returned as a ``BatchedState`` whose leaves are the derivatives of
+        the corresponding state leaves. ``frozen_contacts`` optionally
+        supplies precomputed ``(f_links, ṁ)`` (the RK4-fast path)."""
         pr = pr if pr is not None else self.params()
         bshape = state.p.shape[1:]
         tau = tau if tau is not None else jnp.zeros((self.n_joints,) + bshape)
+
+        W_R, W_p, W_v = self.fk(state, pr)
+        if frozen_contacts is not None:
+            f_links, md = frozen_contacts
+        elif self.n_points > 0:
+            f_links, md = self.soft_contact_forces(W_R, W_p, W_v, state.m, pr)
+        else:
+            f_links, md = [None] * self.n_links, jnp.zeros_like(state.m)
+        W_a, sdd = self.aba(state, W_R, W_p, W_v, f_links, tau, pr)
+
+        omega = state.v[3:6]
+        pd = state.v[0:3] + _cross(omega, state.p)
+        qd = self._quat_derivative(state.q, omega, K=1.0)
+        return BatchedState(s=state.sd, sd=sdd, p=pd, q=qd, v=W_a, m=md)
+
+    def _rk4_step(self, state: BatchedState, tau, pr) -> BatchedState:
+        """Classic RK4 over the full dynamics; with ``integrator ==
+        "rk4fast"`` the contact forces/ṁ are evaluated once at t0 and frozen
+        across the four stages (reference ``api/integrators.py:91-263``)."""
+        dt = self.dt
+        state = dataclasses.replace(state, q=self._normalize_quat(state.q))
+
+        frozen = None
+        if self.integrator == "rk4fast" and self.n_points > 0:
+            W_R, W_p, W_v = self.fk(state, pr)
+            frozen = self.soft_contact_forces(W_R, W_p, W_v, state.m, pr)
+
+        f = lambda st: self.derivatives(st, tau, pr, frozen_contacts=frozen)
+        axpy = lambda c, k: jax.tree.map(lambda y, d: y + c * d, state, k)
+
+        k1 = f(state)
+        k2 = f(axpy(0.5 * dt, k1))
+        k3 = f(axpy(0.5 * dt, k2))
+        k4 = f(axpy(dt, k3))
+        comb = jax.tree.map(
+            lambda a, b, c, d: (a + 2.0 * b + 2.0 * c + d) / 6.0, k1, k2, k3, k4
+        )
+        new = axpy(dt, comb)
+        return dataclasses.replace(new, q=self._normalize_quat(new.q))
+
+    def step(
+        self, state: BatchedState, tau: jtp.Array | None = None, pr=None
+    ) -> BatchedState:
+        """One integrator step with soft contacts (trailing batch):
+        semi-implicit Euler, RK4, or RK4-fast per ``self.integrator``."""
+        pr = pr if pr is not None else self.params()
+        bshape = state.p.shape[1:]
+        tau = tau if tau is not None else jnp.zeros((self.n_joints,) + bshape)
+
+        if self.integrator in ("rk4", "rk4fast"):
+            return self._rk4_step(state, tau, pr)
 
         W_R, W_p, W_v = self.fk(state, pr)
         if self.n_points > 0:
@@ -745,20 +843,8 @@ class BatchedEngine:
         pd = v_new[0:3] + _cross(omega, state.p)
         p_new = state.p + dt * pd
 
-        qw, qx, qy, qz = state.q[0], state.q[1], state.q[2], state.q[3]
-        ox, oy, oz = omega[0], omega[1], omega[2]
-        qd = 0.5 * jnp.stack(
-            [
-                -qx * ox - qy * oy - qz * oz,
-                qw * ox + qy * oz - qz * oy,
-                qw * oy - qx * oz + qz * ox,
-                qw * oz + qx * oy - qy * ox,
-            ]
-        )
-        q_new = state.q + dt * qd
-        q_new = q_new / jnp.sqrt(
-            jnp.maximum(jnp.sum(q_new * q_new, axis=0), 1e-12)
-        )
+        qd = self._quat_derivative(state.q, omega)
+        q_new = self._normalize_quat(state.q + dt * qd)
 
         return BatchedState(
             s=state.s + dt * sd_new,

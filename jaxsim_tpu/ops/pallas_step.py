@@ -27,6 +27,11 @@ TILE_SUB = 8
 TILE_LANE = 128
 TILE_ENVS = TILE_SUB * TILE_LANE
 
+# The RK4 step keeps four derivative stages live in VMEM and overflows the
+# default 16 MiB scoped-vmem limit for the humanoid; v5e has 128 MiB VMEM,
+# so raise the cap (the compiler only uses what the kernel needs).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _step_kernel(engine: BatchedEngine, policy,
                  s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
@@ -112,6 +117,7 @@ def build_pallas_step(engine: BatchedEngine, policy=None):
             in_specs=state_specs + param_specs,
             out_specs=tuple(state_specs),
             out_shape=tuple(out_shapes),
+            compiler_params=_COMPILER_PARAMS,
         )(
             state.s, state.sd, state.p, state.q, state.v, state.m,
             *[pr[k] for k in param_order],
@@ -191,6 +197,7 @@ def build_pallas_step_tau(engine: BatchedEngine):
             in_specs=state_specs + [spec((n,))] + [full_spec(pr[k]) for k in param_order],
             out_specs=tuple(state_specs),
             out_shape=tuple(out_shapes),
+            compiler_params=_COMPILER_PARAMS,
         )(
             state.s, state.sd, state.p, state.q, state.v, state.m,
             jnp.asarray(tau, dtype=jnp.float32),
@@ -707,6 +714,7 @@ def build_pallas_env_rollout(
             + extra_specs,
             out_specs=tuple(state_specs) + (spec(()), spec(()), spec(())),
             out_shape=tuple(out_shapes),
+            compiler_params=_COMPILER_PARAMS,
         )(
             state.s, state.sd, state.p, state.q, state.v, state.m,
             *[pr[k] for k in param_order],
@@ -787,6 +795,7 @@ def build_pallas_rollout(
             + extra_specs,
             out_specs=tuple(state_specs),
             out_shape=tuple(out_shapes),
+            compiler_params=_COMPILER_PARAMS,
         )(
             state.s, state.sd, state.p, state.q, state.v, state.m,
             *[pr[k] for k in param_order],

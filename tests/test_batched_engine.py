@@ -420,3 +420,100 @@ def test_diff_pallas_rollout_policy_gradient():
         assert_allclose(val, ref_loss, rtol=1e-5, atol=1e-6, err_msg=f"chunk={chunk}")
         assert_allclose(grad, ref_grad, rtol=1e-4, atol=1e-6, err_msg=f"chunk={chunk}")
         assert float(jnp.abs(grad).max()) > 0.0
+
+
+def test_rotated_base_quaternion_equivalence():
+    """Regression: the engine's quaternion derivative must use the INERTIAL
+    convention q̇ = ½[0,ω]⊗q like the generic path — a strongly rotated base
+    with large angular velocity exposes a flipped cross term that identity
+    orientations hide."""
+    model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
+    eng = BatchedEngine.build(model)
+    data = js.JaxSimModelData.build(
+        model,
+        base_position=jnp.array([0.0, 0.0, 5.0]),  # airborne: no contacts
+        base_quaternion=jnp.array([0.5, 0.5, 0.5, 0.5]),
+        base_angular_velocity=jnp.array([2.0, -1.0, 0.5]),
+        velocity_representation=js.VelRepr.Inertial,
+    )
+    st = eng.state_from_data(jax.tree.map(lambda x: x[None], data))
+    step_ref = jax.jit(lambda d: js.model.step(model, d))
+    step_eng = jax.jit(lambda s: eng.step(s, jnp.zeros((eng.n_joints, 1))))
+    for _ in range(20):
+        data = step_ref(data)
+        st = step_eng(st)
+    assert_allclose(st.q[:, 0], data.base_quaternion, atol=1e-5)
+    assert_allclose(st.p[:, 0], data.base_position, atol=1e-5)
+
+
+@pytest.mark.parametrize("integrator_name", ["rk4", "rk4fast"])
+def test_engine_rk4_equivalence(integrator_name):
+    """Engine RK4 / RK4-fast trajectories match the generic js.model.step
+    path with the corresponding integrator (humanoid on soft contacts)."""
+    from jaxsim_tpu.api.model import IntegratorType
+
+    itype = {
+        "rk4": IntegratorType.RungeKutta4,
+        "rk4fast": IntegratorType.RungeKutta4Fast,
+    }[integrator_name]
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_humanoid_urdf(), integrator=itype
+    )
+    model = model.replace(
+        contact_params=js.contact.estimate_good_contact_parameters(
+            model,
+            number_of_active_collidable_points_steady_state=8,
+            max_penetration=0.006,
+            damping_ratio=0.15,
+        )
+    )
+    eng = BatchedEngine.build(model)
+    assert eng.integrator == integrator_name
+
+    data = js.JaxSimModelData.build(
+        model,
+        base_position=jnp.array([0.0, 0.0, 0.86]),
+        base_quaternion=jnp.array([0.995, 0.0998, 0.0, 0.0]),
+        joint_positions=0.1 * jax.random.normal(jax.random.PRNGKey(0), (23,)),
+        velocity_representation=js.VelRepr.Inertial,
+    )
+    st = eng.state_from_data(jax.tree.map(lambda x: x[None], data))
+    tau_fn = lambda s, sd: -60.0 * s - 0.5 * sd
+    step_ref = jax.jit(
+        lambda d: js.model.step(
+            model,
+            d,
+            joint_force_references=tau_fn(d.joint_positions, d.joint_velocities),
+        )
+    )
+    step_eng = jax.jit(lambda s: eng.step(s, tau_fn(s.s, s.sd)))
+    for _ in range(25):
+        data = step_ref(data)
+        st = step_eng(st)
+    assert_allclose(st.s[:, 0], data.joint_positions, rtol=1e-3, atol=1e-4)
+    assert_allclose(st.p[:, 0], data.base_position, rtol=1e-3, atol=1e-4)
+    assert_allclose(st.q[:, 0], data.base_quaternion, atol=1e-4)
+    assert_allclose(st.m[..., 0], data.contact_state["tangential_deformation"], rtol=1e-3, atol=1e-5)
+
+
+def test_pallas_step_rk4_interpret():
+    """The fused Pallas step kernel dispatches to the engine's RK4 path
+    in-kernel (interpret mode) and matches the XLA engine step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.api.model import IntegratorType
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_garpez_urdf(), integrator=IntegratorType.RungeKutta4
+    )
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024, key=jax.random.PRNGKey(7)))
+    step = ps.build_pallas_step(eng)
+    with pltpu.force_tpu_interpret_mode():
+        out = step(st)
+    ref = eng.step(st, -60.0 * st.s - 0.5 * st.sd)
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )

@@ -37,7 +37,18 @@ def main() -> None:
         bench_path = "batched"
     use_vmap_path = bench_path == "vmap"
 
-    model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
+    integrator_name = os.environ.get("BENCH_INTEGRATOR", "sie")  # sie|rk4|rk4fast
+    from jaxsim_tpu.api.model import IntegratorType
+
+    integrator = {
+        "sie": IntegratorType.SemiImplicitEuler,
+        "rk4": IntegratorType.RungeKutta4,
+        "rk4fast": IntegratorType.RungeKutta4Fast,
+    }.get(integrator_name, IntegratorType.SemiImplicitEuler)
+
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_humanoid_urdf(), integrator=integrator
+    )
     params = js.contact.estimate_good_contact_parameters(
         model,
         number_of_active_collidable_points_steady_state=8,
@@ -200,6 +211,7 @@ def main() -> None:
             "batch_step_ms": round(p50_step_ms, 3),
             "devices": n_dev,
             "path": bench_path if not use_vmap_path else "vmap",
+            "integrator": integrator_name,
             "finite": bool(jnp.all(jnp.isfinite(out_leaf(out))).item()),
             **extra_latency,
         },

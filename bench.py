@@ -110,11 +110,16 @@ def main() -> None:
             state = jax.tree.map(put, state)
         data0 = state
 
+        # (32, 128) env tiles are ~25% faster than (8, 128) for the SIE
+        # humanoid; RK4 keeps 4 stages live so it stays at the default tile.
+        default_tile = 32 if integrator_name == "sie" else 8
+        tile_sub = int(os.environ.get("BENCH_TILE", str(default_tile)))
+
         def make_run(path):
             if path == "fused":
                 # Single kernel launch: the whole horizon runs inside one
                 # Pallas fori_loop — amortizes dispatch/RPC per call.
-                return jax.jit(ps.build_pallas_rollout(eng, n_steps))
+                return jax.jit(ps.build_pallas_rollout(eng, n_steps, tile_sub=tile_sub))
             if path == "pallas":
                 return jax.jit(lambda st: ps.pallas_rollout(eng, st, n_steps))
             return jax.jit(lambda st: eng.rollout(st, n_steps))

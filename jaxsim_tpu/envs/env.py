@@ -177,9 +177,10 @@ class BatchedEnv:
           shape ``(n_joints, 2·n_joints + 11)`` over the default observation
           ``[s, sd, q, v, p_z]``.
 
-        ``domain``: optional dict of per-env contact multipliers
-        (``Kmul``/``Dmul``/``mumul``, each shape ``(batch_size,)``) for
-        call-time domain randomization.
+        ``domain``: optional dict of per-env multipliers, each shape
+        ``(batch_size,)``, for call-time domain randomization: contact
+        ``Kmul``/``Dmul``/``mumul`` plus dynamics ``gmul`` (gravity) and
+        ``Mmul`` (uniform link-inertia/density scale).
 
         Auto-reset respawns at the episode-start state without reset noise.
         Returns ``(final_sim, reward_sum (B,), resets (B,))``.
@@ -194,7 +195,7 @@ class BatchedEnv:
             raise ValueError("pass either policy (closure) or W/b (linear), not both")
         dkw = {}
         if domain is not None:
-            bad = set(domain) - {"Kmul", "Dmul", "mumul"}
+            bad = set(domain) - {"Kmul", "Dmul", "mumul", "gmul", "Mmul"}
             if bad:
                 raise ValueError(f"unknown domain multipliers: {sorted(bad)}")
             dkw = {

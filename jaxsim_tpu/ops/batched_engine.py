@@ -619,13 +619,36 @@ class BatchedEngine:
     # ----- dynamics -----
 
     def aba(self, state: BatchedState, W_R, W_p, W_v, f_ext, tau, pr=None):
-        """Articulated-Body Algorithm, trailing-batch, unrolled tree."""
+        """Articulated-Body Algorithm, trailing-batch, unrolled tree.
+
+        Per-env dynamics domain randomization: optional batch-shaped
+        multipliers ``pr["gmul"]`` (gravity) and ``pr["Mmul"]`` (all link
+        spatial inertias, i.e. uniform density scaling) — absent keys cost
+        nothing."""
         pr = pr if pr is not None else self.params()
         nL = self.n_links
         bshape = state.p.shape[1:]
         rel_R, rel_p = self._relative_transforms(state.s, pr)
         zb = jnp.zeros(bshape)
-        g6 = jnp.stack([zb, zb, jnp.full(bshape, self.gravity_z), zb, zb, zb])
+        gz = jnp.full(bshape, self.gravity_z)
+        if "gmul" in pr:
+            gz = gz * pr["gmul"]
+        g6 = jnp.stack([zb, zb, gz, zb, zb, zb])
+
+        Mscale = pr.get("Mmul") if "Mmul" in pr else None
+
+        def _scaled_inertia(i):
+            Mb = _bmat(pr["M"][i], 6, 6, bshape)
+            if Mscale is None:
+                return Mb
+            if not _MOSAIC:
+                return Mb * Mscale  # trailing-dim broadcast
+            return jnp.stack(
+                [
+                    jnp.stack([Mb[a, b2] * Mscale for b2 in range(6)])
+                    for a in range(6)
+                ]
+            )
 
         inv_R = [None] * nL
         inv_p = [None] * nL
@@ -644,7 +667,7 @@ class BatchedEngine:
         else:
             v[0] = jnp.zeros((6,) + bshape)
 
-        MA[0] = _bmat(pr["M"][0], 6, 6, bshape)
+        MA[0] = _scaled_inertia(0)
         pA[0] = _vxstar_Mv(v[0], MA[0])
         if f_ext[0] is not None:
             pA[0] = pA[0] - _xtf(R0, p0, f_ext[0])
@@ -655,7 +678,7 @@ class BatchedEngine:
             vJ = jnp.stack([pr["S"][i][k] * sdi for k in range(6)])
             v[i] = _xv(inv_R[i], inv_p[i], v[lam]) + vJ
             c[i] = _vx(v[i], vJ)
-            MA[i] = _bmat(pr["M"][i], 6, 6, bshape)
+            MA[i] = _scaled_inertia(i)
             pA[i] = _vxstar_Mv(v[i], MA[i])
             if f_ext[i] is not None:
                 pA[i] = pA[i] - _xtf(W_R[i], W_p[i], f_ext[i])
@@ -860,9 +883,10 @@ class BatchedEngine:
     ) -> BatchedState:
         """On-device lax.scan rollout; ``policy(state) -> (n, *b)`` torques.
 
-        ``domain``: optional dict of per-env contact multipliers
-        (``Kmul``/``Dmul``/``mumul``, each batch-shaped) for domain
-        randomization — see :meth:`soft_contact_forces`."""
+        ``domain``: optional dict of per-env multipliers (each
+        batch-shaped) for domain randomization: ``Kmul``/``Dmul``/``mumul``
+        (contacts, see :meth:`soft_contact_forces`) and ``gmul``/``Mmul``
+        (gravity / link inertias, see :meth:`aba`)."""
         policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
         pr = self.params()
         if domain:

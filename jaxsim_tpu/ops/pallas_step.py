@@ -67,23 +67,28 @@ def _step_kernel(engine: BatchedEngine, policy,
     m_out[:] = new.m
 
 
-def build_pallas_step(engine: BatchedEngine, policy=None):
+def build_pallas_step(engine: BatchedEngine, policy=None, tile_sub: int | None = None):
     """Return a jittable ``state -> state`` where every leaf has batch shape
-    ``(B1, 128)`` with ``B1`` a multiple of 8 (B = B1 · 128 envs)."""
+    ``(B1, 128)`` with ``B1`` a multiple of ``tile_sub`` (B = B1 · 128 envs).
+
+    ``tile_sub`` is the sublane height of the env tile (default
+    ``TILE_SUB``); larger tiles amortize per-tile overhead at the cost of
+    VMEM — (32, 128) is ~25% faster than (8, 128) for the SIE humanoid."""
     policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
     n, nC = engine.n_joints, engine.n_points
+    tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
 
     kernel = functools.partial(_step_kernel, engine, policy)
 
     def step(state: BatchedState) -> BatchedState:
         B1 = state.p.shape[-2]
-        assert B1 % TILE_SUB == 0, f"batch rows {B1} not a multiple of {TILE_SUB}"
-        grid = (B1 // TILE_SUB,)
+        assert B1 % tile_sub == 0, f"batch rows {B1} not a multiple of {tile_sub}"
+        grid = (B1 // tile_sub,)
 
         def spec(lead: tuple[int, ...]):
             nlead = len(lead)
             return pl.BlockSpec(
-                lead + (TILE_SUB, TILE_LANE),
+                lead + (tile_sub, TILE_LANE),
                 (lambda i, _n=nlead: (0,) * _n + (i, 0)),
                 memory_space=pltpu.VMEM,
             )
@@ -154,22 +159,23 @@ def _step_tau_kernel(engine: BatchedEngine,
     m_out[:] = new.m
 
 
-def build_pallas_step_tau(engine: BatchedEngine):
+def build_pallas_step_tau(engine: BatchedEngine, tile_sub: int | None = None):
     """Return a jittable ``(state, tau) -> state`` fused step where
     ``tau`` has shape ``(n_joints, B1, 128)`` (state shapes as in
     :func:`build_pallas_step`)."""
     n, nC = engine.n_joints, engine.n_points
+    tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
     kernel = functools.partial(_step_tau_kernel, engine)
 
     def step(state: BatchedState, tau) -> BatchedState:
         B1 = state.p.shape[-2]
-        assert B1 % TILE_SUB == 0, f"batch rows {B1} not a multiple of {TILE_SUB}"
-        grid = (B1 // TILE_SUB,)
+        assert B1 % tile_sub == 0, f"batch rows {B1} not a multiple of {tile_sub}"
+        grid = (B1 // tile_sub,)
 
         def spec(lead):
             nlead = len(lead)
             return pl.BlockSpec(
-                lead + (TILE_SUB, TILE_LANE),
+                lead + (tile_sub, TILE_LANE),
                 (lambda i, _n=nlead: (0,) * _n + (i, 0)),
                 memory_space=pltpu.VMEM,
             )
@@ -208,7 +214,7 @@ def build_pallas_step_tau(engine: BatchedEngine):
     return step
 
 
-def build_diff_pallas_step(engine: BatchedEngine):
+def build_diff_pallas_step(engine: BatchedEngine, tile_sub: int | None = None):
     """Differentiable fused step: ``(state, tau) -> state`` whose FORWARD is
     the Pallas kernel and whose BACKWARD is the VJP of the numerically
     identical XLA engine step (SURVEY.md §7 "hard parts": fused kernels need
@@ -221,7 +227,7 @@ def build_diff_pallas_step(engine: BatchedEngine):
     note: reverse-mode saves (state, tau) per step; wrap the step (or chunks
     of the rollout) in ``jax.checkpoint`` for long horizons.
     """
-    fwd_step = build_pallas_step_tau(engine)
+    fwd_step = build_pallas_step_tau(engine, tile_sub=tile_sub)
 
     @jax.custom_vjp
     def step(state: BatchedState, tau) -> BatchedState:
@@ -242,7 +248,8 @@ def build_diff_pallas_step(engine: BatchedEngine):
 
 
 def build_diff_pallas_rollout(engine: BatchedEngine, n_steps: int,
-                              checkpoint_chunk: int | None = None):
+                              checkpoint_chunk: int | None = None,
+                              tile_sub: int | None = None):
     """Return a differentiable ``(state, policy_fn, *policy_args) -> state``
     rollout: each step's physics runs in the fused Pallas kernel, torques
     come from ``policy_fn(state, *policy_args)`` evaluated in XLA (so policy
@@ -256,7 +263,7 @@ def build_diff_pallas_rollout(engine: BatchedEngine, n_steps: int,
     (gradient checkpointing without ``jax.checkpoint``, which cannot
     rematerialize a ``pallas_call``).
     """
-    per_step = build_diff_pallas_step(engine)
+    per_step = build_diff_pallas_step(engine, tile_sub=tile_sub)
 
     def run_steps(state, policy_fn, policy_args, length):
         def body(st, _):
@@ -273,7 +280,7 @@ def build_diff_pallas_rollout(engine: BatchedEngine, n_steps: int,
         return out
 
     def pallas_steps_fwd_only(state, policy_fn, policy_args, length):
-        step_tau = build_pallas_step_tau(engine)
+        step_tau = build_pallas_step_tau(engine, tile_sub=tile_sub)
 
         def body(st, _):
             return step_tau(st, policy_fn(st, *policy_args)), None
@@ -358,8 +365,9 @@ def _rollout_kernel(engine: BatchedEngine, policy, n_steps: int,
     """Whole rollout in one kernel: the env-tile state lives in registers/VMEM
     across all ``n_steps`` — no HBM round-trips or kernel launches per step.
 
-    With ``domain``, three extra per-env multiplier tiles (Kmul, Dmul,
-    mumul) randomize the contact parameters at call time."""
+    With ``domain``, five extra per-env multiplier tiles (Kmul, Dmul,
+    mumul, gmul, Mmul) randomize the contact parameters, gravity, and link
+    inertias at call time."""
     (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
      S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref) = refs[:12]
     pr = dict(
@@ -368,10 +376,10 @@ def _rollout_kernel(engine: BatchedEngine, policy, n_steps: int,
     )
     k = 12
     if domain:
-        pr["Kmul"], pr["Dmul"], pr["mumul"] = (
-            refs[12][:], refs[13][:], refs[14][:]
+        (pr["Kmul"], pr["Dmul"], pr["mumul"], pr["gmul"], pr["Mmul"]) = (
+            refs[12][:], refs[13][:], refs[14][:], refs[15][:], refs[16][:]
         )
-        k = 15
+        k = 17
     (s_out, sd_out, p_out, q_out, v_out, m_out) = refs[k:k + 6]
     state0 = (s_ref[:], sd_ref[:], p_ref[:], q_ref[:], v_ref[:], m_ref[:])
 
@@ -440,10 +448,33 @@ def _linear_policy_tau(st: BatchedState, getW, getb, n_joints: int,
     return jnp.stack(taus)
 
 
+def _mlp_policy_tau(st: BatchedState, getW1, getb1, getW2, getb2,
+                    n_joints: int, hidden: int, tau_limit=None):
+    """``tau = W2 @ tanh(W1 @ obs + b1) + b2`` unrolled into scalar MACs
+    over batch tiles (one hidden tanh layer; weights read as SMEM scalars
+    like :func:`_linear_policy_tau`, so weight updates don't recompile)."""
+    rows = _obs_rows(st)
+    hs = []
+    for h in range(hidden):
+        acc = getb1(h) + getW1(h, 0) * rows[0]
+        for kk in range(1, len(rows)):
+            acc = acc + getW1(h, kk) * rows[kk]
+        hs.append(jnp.tanh(acc))
+    taus = []
+    for a in range(n_joints):
+        acc = getb2(a) + getW2(a, 0) * hs[0]
+        for h in range(1, hidden):
+            acc = acc + getW2(a, h) * hs[h]
+        if tau_limit is not None:
+            acc = jnp.clip(acc, -tau_limit, tau_limit)
+        taus.append(acc)
+    return jnp.stack(taus)
+
+
 def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
                         episode_length: int, z_lo: float, z_hi: float,
-                        linear_policy: bool, domain: bool, tau_limit,
-                        reset_noise: float,
+                        linear_policy: bool, mlp_hidden, domain: bool,
+                        tau_limit, reset_noise: float,
                         *refs):
     """RL evaluation rollout in one kernel: step + termination/truncation +
     auto-reset to the episode-start state, with per-env reward accumulation.
@@ -452,7 +483,8 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
     state), so auto-reset costs no extra inputs or HBM traffic. With
     ``linear_policy`` the torques are ``W @ obs + b`` where W/b are
     call-time kernel inputs (weight updates don't recompile); with
-    ``domain``, per-env Kmul/Dmul/mumul tiles randomize contact params.
+    ``domain``, per-env Kmul/Dmul/mumul/gmul/Mmul tiles randomize the
+    contact params, gravity, and link inertias.
     """
     (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
      S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref) = refs[:12]
@@ -462,10 +494,11 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
         lamH=lamH_ref[:], sucH=sucH_ref[:], cpoint=cpoint_ref[:],
     )
     if domain:
-        pr["Kmul"], pr["Dmul"], pr["mumul"] = (
-            refs[k][:], refs[k + 1][:], refs[k + 2][:]
+        (pr["Kmul"], pr["Dmul"], pr["mumul"], pr["gmul"], pr["Mmul"]) = (
+            refs[k][:], refs[k + 1][:], refs[k + 2][:], refs[k + 3][:],
+            refs[k + 4][:],
         )
-        k += 3
+        k += 5
     if linear_policy:
         n = s_ref.shape[0]
         W_ref, b_ref = refs[k], refs[k + 1]
@@ -479,6 +512,24 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
             getW = lambda a, kk: W_ref[a, kk]
             getb = lambda a: b_ref[a, 0]
         policy = lambda st: _linear_policy_tau(st, getW, getb, n, tau_limit)
+    elif mlp_hidden:
+        n = s_ref.shape[0]
+        W1_ref, b1_ref, W2_ref, b2_ref = refs[k:k + 4]
+        k += 4
+        if len(W1_ref.shape) == 3:
+            # Per-tile population weights (leading candidate axis).
+            getW1 = lambda h, kk: W1_ref[0, h, kk]
+            getb1 = lambda h: b1_ref[0, h, 0]
+            getW2 = lambda a, h: W2_ref[0, a, h]
+            getb2 = lambda a: b2_ref[0, a, 0]
+        else:
+            getW1 = lambda h, kk: W1_ref[h, kk]
+            getb1 = lambda h: b1_ref[h, 0]
+            getW2 = lambda a, h: W2_ref[a, h]
+            getb2 = lambda a: b2_ref[a, 0]
+        policy = lambda st: _mlp_policy_tau(
+            st, getW1, getb1, getW2, getb2, n, mlp_hidden, tau_limit
+        )
     if reset_noise > 0.0:
         seed_ref = refs[k]
         k += 1
@@ -566,10 +617,12 @@ def build_pallas_env_rollout(
     episode_length: int = 1000,
     healthy_z_range: tuple = (0.4, 2.0),
     linear_policy: bool = False,
+    mlp_policy: int | None = None,
     domain: bool = False,
     per_tile_weights: bool = False,
     tau_limit: float | None = None,
     reset_noise: float = 0.0,
+    tile_sub: int | None = None,
 ):
     """Return a jittable rollout running an auto-resetting RL evaluation
     inside ONE kernel launch per batch tile (state shapes as in
@@ -591,40 +644,57 @@ def build_pallas_env_rollout(
     observation is ``[s, sd, q, v, p_z]`` (see :func:`obs_dim`). Otherwise
     the fn is ``state -> (...)`` with a compile-time ``policy`` closure.
 
-    With ``domain=True`` the fn additionally takes per-env contact
-    multiplier tiles ``Kmul/Dmul/mumul`` shaped like ``state.p[2]``
-    (keyword args, after W/b when both are enabled).
+    With ``mlp_policy=H`` (an int hidden width, exclusive with
+    ``linear_policy``) the policy is a one-hidden-layer tanh MLP
+    ``tau = W2 @ tanh(W1 @ obs + b1) + b2`` with CALL-TIME SMEM weights
+    ``W1 (H, obs_dim)`` / ``b1 (H, 1)`` / ``W2 (n_joints, H)`` /
+    ``b2 (n_joints, 1)`` (leading population axis with
+    ``per_tile_weights=True``): nonlinear policy evaluation entirely
+    in-kernel, no recompile on weight updates.
+
+    With ``domain=True`` the fn additionally takes per-env multiplier
+    tiles ``Kmul/Dmul/mumul`` (contacts) and ``gmul/Mmul``
+    (gravity / link inertias) shaped like ``state.p[2]`` (keyword args,
+    after the policy weights when both are enabled).
 
     With ``reset_noise > 0`` respawns perturb the episode-start base
     position with in-kernel uniform noise of that standard deviation
     (per-env, fresh each reset; the ``seed`` call-time kwarg decorrelates
     calls, tiles decorrelate automatically).
     """
-    if not linear_policy:
+    if linear_policy and mlp_policy:
+        raise ValueError("pass either linear_policy or mlp_policy, not both")
+    if not (linear_policy or mlp_policy):
         policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
-    if per_tile_weights and not linear_policy:
-        raise ValueError("per_tile_weights requires linear_policy=True")
+    if per_tile_weights and not (linear_policy or mlp_policy):
+        raise ValueError(
+            "per_tile_weights requires linear_policy=True or mlp_policy"
+        )
     reward = reward or _default_reward
     n, nC = engine.n_joints, engine.n_points
     z_lo, z_hi = float(healthy_z_range[0]), float(healthy_z_range[1])
+    tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
 
     kernel = functools.partial(
         _env_rollout_kernel, engine, policy, reward, n_steps,
-        int(episode_length), z_lo, z_hi, linear_policy, domain,
+        int(episode_length), z_lo, z_hi, linear_policy,
+        int(mlp_policy) if mlp_policy else None, domain,
         float(tau_limit) if tau_limit is not None else None,
         float(reset_noise),
     )
 
     def rollout(state: BatchedState, W=None, b=None,
-                Kmul=None, Dmul=None, mumul=None, seed=0):
+                W1=None, b1=None, W2=None, b2=None,
+                Kmul=None, Dmul=None, mumul=None, gmul=None, Mmul=None,
+                seed=0):
         B1 = state.p.shape[-2]
-        assert B1 % TILE_SUB == 0
-        grid = (B1 // TILE_SUB,)
+        assert B1 % tile_sub == 0
+        grid = (B1 // tile_sub,)
 
         def spec(lead):
             nlead = len(lead)
             return pl.BlockSpec(
-                lead + (TILE_SUB, TILE_LANE),
+                lead + (tile_sub, TILE_LANE),
                 (lambda i, _n=nlead: (0,) * _n + (i, 0)),
                 memory_space=pltpu.VMEM,
             )
@@ -645,7 +715,8 @@ def build_pallas_env_rollout(
         extra_in, extra_specs = [], []
         tile_shape = state.p.shape[1:]
         if domain:
-            for name, mul in (("Kmul", Kmul), ("Dmul", Dmul), ("mumul", mumul)):
+            for name, mul in (("Kmul", Kmul), ("Dmul", Dmul), ("mumul", mumul),
+                              ("gmul", gmul), ("Mmul", Mmul)):
                 mul = jnp.asarray(
                     mul if mul is not None else jnp.ones(tile_shape),
                     dtype=jnp.float32,
@@ -663,7 +734,7 @@ def build_pallas_env_rollout(
             # for unaligned minor dims).
             W = jnp.asarray(W, dtype=jnp.float32)
             if per_tile_weights:
-                n_tiles = B1 // TILE_SUB
+                n_tiles = B1 // tile_sub
                 if W.shape != (n_tiles, n, obs_dim(n)):
                     raise ValueError(
                         f"per-tile W must have shape"
@@ -693,6 +764,41 @@ def build_pallas_env_rollout(
                 )
                 extra_in += [W, b]
                 extra_specs += [smem_full(W), smem_full(b)]
+        elif mlp_policy:
+            H = int(mlp_policy)
+            d = obs_dim(n)
+            W1 = jnp.asarray(W1, dtype=jnp.float32)
+            W2 = jnp.asarray(W2, dtype=jnp.float32)
+            if per_tile_weights:
+                n_tiles = B1 // tile_sub
+                shapes = {
+                    "W1": (n_tiles, H, d), "W2": (n_tiles, n, H),
+                }
+                b1 = jnp.reshape(jnp.asarray(b1, dtype=jnp.float32),
+                                 (n_tiles, H, 1))
+                b2 = jnp.reshape(jnp.asarray(b2, dtype=jnp.float32),
+                                 (n_tiles, n, 1))
+                lead = lambda a: pl.BlockSpec(
+                    (1,) + a.shape[1:],
+                    (lambda i, _nd=a.ndim: (i,) + (0,) * (_nd - 1)),
+                    memory_space=pltpu.SMEM,
+                )
+            else:
+                shapes = {"W1": (H, d), "W2": (n, H)}
+                b1 = jnp.reshape(jnp.asarray(b1, dtype=jnp.float32), (H, 1))
+                b2 = jnp.reshape(jnp.asarray(b2, dtype=jnp.float32), (n, 1))
+                lead = lambda a: pl.BlockSpec(
+                    a.shape,
+                    (lambda i, _nd=a.ndim: (0,) * _nd),
+                    memory_space=pltpu.SMEM,
+                )
+            for name, arr in (("W1", W1), ("W2", W2)):
+                if arr.shape != shapes[name]:
+                    raise ValueError(
+                        f"{name} must have shape {shapes[name]}; got {arr.shape}"
+                    )
+            extra_in += [W1, b1, W2, b2]
+            extra_specs += [lead(W1), lead(b1), lead(W2), lead(b2)]
         if reset_noise > 0.0:
             seed_arr = jnp.reshape(jnp.asarray(seed, dtype=jnp.int32), (1,))
             extra_in.append(seed_arr)
@@ -728,29 +834,33 @@ def build_pallas_env_rollout(
 
 
 def build_pallas_rollout(
-    engine: BatchedEngine, n_steps: int, policy=None, domain: bool = False
+    engine: BatchedEngine, n_steps: int, policy=None, domain: bool = False,
+    tile_sub: int | None = None,
 ):
     """Return a jittable rollout advancing ``n_steps`` inside ONE kernel
     launch per batch tile (state shapes as in build_pallas_step).
 
-    With ``domain=True`` the fn is ``(state, Kmul, Dmul, mumul) -> state``
-    where the multipliers are per-env tiles shaped like ``state.p[2]``
-    (``(B1, 128)``): call-time contact-parameter domain randomization —
-    changing multipliers does not recompile."""
+    With ``domain=True`` the fn is ``(state, Kmul, Dmul, mumul, gmul,
+    Mmul) -> state`` where the multipliers are per-env tiles shaped like
+    ``state.p[2]`` (``(B1, 128)``): call-time domain randomization of the
+    contact parameters, gravity, and link inertias — changing multipliers
+    does not recompile."""
     policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
     n, nC = engine.n_joints, engine.n_points
+    tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
 
     kernel = functools.partial(_rollout_kernel, engine, policy, n_steps, domain)
 
-    def rollout(state: BatchedState, Kmul=None, Dmul=None, mumul=None):
+    def rollout(state: BatchedState, Kmul=None, Dmul=None, mumul=None,
+                gmul=None, Mmul=None):
         B1 = state.p.shape[-2]
-        assert B1 % TILE_SUB == 0
-        grid = (B1 // TILE_SUB,)
+        assert B1 % tile_sub == 0
+        grid = (B1 // tile_sub,)
 
         def spec(lead):
             nlead = len(lead)
             return pl.BlockSpec(
-                lead + (TILE_SUB, TILE_LANE),
+                lead + (tile_sub, TILE_LANE),
                 (lambda i, _n=nlead: (0,) * _n + (i, 0)),
                 memory_space=pltpu.VMEM,
             )
@@ -772,7 +882,8 @@ def build_pallas_rollout(
         if domain:
             tile = state.p.shape[1:]
             mults = []
-            for name, mul in (("Kmul", Kmul), ("Dmul", Dmul), ("mumul", mumul)):
+            for name, mul in (("Kmul", Kmul), ("Dmul", Dmul), ("mumul", mumul),
+                              ("gmul", gmul), ("Mmul", Mmul)):
                 mul = jnp.asarray(
                     mul if mul is not None else jnp.ones(tile), dtype=jnp.float32
                 )
@@ -783,7 +894,7 @@ def build_pallas_rollout(
                     )
                 mults.append(mul)
             extra_in = mults
-            extra_specs = [spec(())] * 3
+            extra_specs = [spec(())] * 5
         out_shapes = [
             jax.ShapeDtypeStruct(a.shape, a.dtype)
             for a in (state.s, state.sd, state.p, state.q, state.v, state.m)

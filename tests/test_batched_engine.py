@@ -517,3 +517,152 @@ def test_pallas_step_rk4_interpret():
         assert_allclose(
             getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
         )
+
+
+def test_dynamics_domain_randomization():
+    """Per-env gmul/Mmul multipliers: gmul scales gravity (free-fall
+    velocity), and Mmul=c is exactly equivalent to scaling every link
+    spatial inertia by c."""
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    B = 8
+    st = eng.init_state(B, key=jax.random.PRNGKey(0))
+    import dataclasses as dc
+
+    st = dc.replace(st, p=st.p.at[2].set(5.0))  # airborne: no contacts
+    tile = st.p.shape[1:]
+    tau = 0.4 * jax.random.normal(jax.random.PRNGKey(1), (eng.n_joints,) + tile)
+    pr = eng.params()
+
+    # gmul: scaled gravity reproduces a half-gravity free fall.
+    out_full = eng.step(st, jnp.zeros_like(tau), pr)
+    out_half = eng.step(st, jnp.zeros_like(tau), {**pr, "gmul": 0.5 * jnp.ones(tile)})
+    out_zero = eng.step(st, jnp.zeros_like(tau), {**pr, "gmul": jnp.zeros(tile)})
+    dv_full = out_full.v[2] - st.v[2]
+    dv_half = out_half.v[2] - st.v[2]
+    assert float(jnp.abs(dv_full).min()) > 0.0
+    assert_allclose(dv_half, 0.5 * dv_full, rtol=1e-4, atol=1e-6)
+    assert_allclose(out_zero.v[2], st.v[2], atol=1e-6)
+
+    # Mmul: equivalent to scaling pr["M"] itself.
+    c = 1.7
+    out_mul = eng.step(st, tau, {**pr, "Mmul": c * jnp.ones(tile)})
+    out_ref = eng.step(st, tau, {**pr, "M": pr["M"] * c})
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        assert_allclose(
+            getattr(out_mul, f), getattr(out_ref, f), rtol=1e-5, atol=1e-6,
+            err_msg=f,
+        )
+    # Heavier robot responds less to the same torques.
+    out_base = eng.step(st, tau, pr)
+    assert float(jnp.abs(out_mul.sd - out_base.sd).max()) > 1e-6
+
+
+def test_dynamics_domain_randomization_pallas_interpret():
+    """gmul/Mmul thread through the fused rollout kernel (interpret mode)
+    and match the XLA engine with the same multipliers."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024, key=jax.random.PRNGKey(2)))
+    import dataclasses as dc
+
+    st = dc.replace(
+        st,
+        s=0.2 * jax.random.normal(jax.random.PRNGKey(8), st.s.shape),
+        sd=0.1 * jax.random.normal(jax.random.PRNGKey(9), st.sd.shape),
+    )
+    tile = st.p.shape[1:]
+    key = jax.random.PRNGKey(3)
+    gmul = 1.0 + 0.2 * jax.random.normal(key, tile)
+    Mmul = 1.0 + 0.1 * jax.random.normal(jax.random.split(key)[0], tile)
+
+    run = ps.build_pallas_rollout(eng, 3, domain=True)
+    with pltpu.force_tpu_interpret_mode():
+        out = run(st, gmul=gmul, Mmul=Mmul)
+    ref = eng.rollout(st, 3, domain={"gmul": gmul, "Mmul": Mmul})
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )
+    # The multipliers actually change the trajectory.
+    base = eng.rollout(st, 3)
+    assert float(jnp.abs(ref.sd - base.sd).max()) > 1e-6
+
+
+def test_mlp_policy_env_rollout_interpret():
+    """build_pallas_env_rollout(mlp_policy=H): in-kernel tanh-MLP torques
+    match an XLA reference rollout with the same weights (interpret mode),
+    including the per-tile population variant."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    B = 2048
+    st = ps.tile_state(eng.init_state(B, key=jax.random.PRNGKey(0)))
+    import dataclasses as dc
+
+    st = dc.replace(
+        st, s=0.2 * jax.random.normal(jax.random.PRNGKey(1), st.s.shape)
+    )
+    n, H, d = eng.n_joints, 4, ps.obs_dim(eng.n_joints)
+    key = jax.random.PRNGKey(2)
+    W1 = 0.3 * jax.random.normal(key, (H, d))
+    b1 = 0.1 * jax.random.normal(jax.random.fold_in(key, 1), (H, 1))
+    W2 = 0.5 * jax.random.normal(jax.random.fold_in(key, 2), (n, H))
+    b2 = 0.1 * jax.random.normal(jax.random.fold_in(key, 3), (n, 1))
+
+    def obs_rows(s):
+        rows = [s.s[i] for i in range(n)] + [s.sd[i] for i in range(n)]
+        rows += [s.q[i] for i in range(4)] + [s.v[i] for i in range(6)]
+        rows.append(s.p[2])
+        return jnp.stack(rows)
+
+    def xla_policy(s):
+        o = obs_rows(s)
+        h = jnp.tanh(jnp.einsum("hd,d...->h...", W1, o) + b1[:, :, None])
+        return jnp.einsum("nh,h...->n...", W2, h) + b2[:, :, None]
+
+    n_steps = 3
+    run = ps.build_pallas_env_rollout(
+        eng, n_steps, mlp_policy=H, episode_length=10**6,
+        healthy_z_range=(-1e6, 1e6),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out, rew, resets, steps = run(st, W1=W1, b1=b1, W2=W2, b2=b2)
+    ref = eng.rollout(st, n_steps, policy=xla_policy)
+    for f in ["s", "sd", "p", "q", "v"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )
+    assert int(resets.sum()) == 0
+
+    # Per-tile population: two tiles with different weights diverge.
+    n_tiles = st.p.shape[-2] // ps.TILE_SUB
+    W1p = jnp.stack([W1] + [1.5 * W1] * (n_tiles - 1))
+    b1p = jnp.stack([b1] * n_tiles)
+    W2p = jnp.stack([W2] + [1.5 * W2] * (n_tiles - 1))
+    b2p = jnp.stack([b2] * n_tiles)
+    run_pop = ps.build_pallas_env_rollout(
+        eng, n_steps, mlp_policy=H, per_tile_weights=True,
+        episode_length=10**6, healthy_z_range=(-1e6, 1e6),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        outp, _, _, _ = run_pop(st, W1=W1p, b1=b1p, W2=W2p, b2=b2p)
+    # Tile 0 uses the original weights -> matches the XLA reference there.
+    assert_allclose(
+        outp.s[:, : ps.TILE_SUB], ref.s[:, : ps.TILE_SUB], rtol=1e-5, atol=1e-5
+    )
+    assert (
+        float(
+            jnp.abs(
+                outp.s[:, ps.TILE_SUB :] - ref.s[:, ps.TILE_SUB :]
+            ).max()
+        )
+        > 1e-6
+    )

@@ -25,7 +25,8 @@ from jaxsim_tpu.utils import pytree_dataclass
 
 @functools.lru_cache(maxsize=32)
 def _build_fused_eval(
-    env: "BatchedEnv", n_steps: int, policy, linear: bool, domain: bool
+    env: "BatchedEnv", n_steps: int, policy, linear: bool, mlp_hidden,
+    domain: bool
 ):
     """Cache the built (and jitted) eval-rollout per (env, horizon, policy)
     so repeated fused_eval_rollout calls reuse the compiled kernel."""
@@ -40,6 +41,7 @@ def _build_fused_eval(
             episode_length=env.episode_length,
             healthy_z_range=env.healthy_z_range,
             linear_policy=linear,
+            mlp_policy=mlp_hidden,
             domain=domain,
         )
     )
@@ -159,6 +161,7 @@ class BatchedEnv:
         policy: Callable | None = None,
         W=None,
         b=None,
+        mlp_weights: tuple | None = None,
         domain: dict | None = None,
     ):
         """Policy-evaluation rollout fused into ONE Pallas kernel launch:
@@ -176,6 +179,10 @@ class BatchedEnv:
           compiled kernel (~46M env·steps/s for the humanoid). ``W`` has
           shape ``(n_joints, 2·n_joints + 11)`` over the default observation
           ``[s, sd, q, v, p_z]``.
+        - ``mlp_weights=(W1, b1, W2, b2)``: a one-hidden-layer tanh MLP
+          ``tau = W2 @ tanh(W1 @ obs + b1) + b2`` with CALL-TIME weights
+          (``W1 (H, obs_dim)``, ``W2 (n_joints, H)``) — nonlinear policies
+          at ~2% overhead over bare physics.
 
         ``domain``: optional dict of per-env multipliers, each shape
         ``(batch_size,)``, for call-time domain randomization: contact
@@ -191,8 +198,11 @@ class BatchedEnv:
             raise ValueError(
                 f"batch_size must be a multiple of {ps.TILE_ENVS}; got {batch_size}"
             )
-        if W is not None and policy is not None:
-            raise ValueError("pass either policy (closure) or W/b (linear), not both")
+        if sum(x is not None for x in (policy, W, mlp_weights)) > 1:
+            raise ValueError(
+                "pass exactly one of policy (closure), W/b (linear), or"
+                " mlp_weights"
+            )
         dkw = {}
         if domain is not None:
             bad = set(domain) - {"Kmul", "Dmul", "mumul", "gmul", "Mmul"}
@@ -203,12 +213,23 @@ class BatchedEnv:
                 for k, v in domain.items()
             }
         sim = self._fresh_sim(batch_size, key)
+        mlp_hidden = (
+            int(jnp.asarray(mlp_weights[0]).shape[0])
+            if mlp_weights is not None
+            else None
+        )
         run = _build_fused_eval(
-            self, n_steps, policy, W is not None, domain is not None
+            self, n_steps, policy, W is not None, mlp_hidden,
+            domain is not None,
         )
         if W is not None:
             b = b if b is not None else jnp.zeros((self.engine.n_joints, 1))
             final, rew, resets, _ = run(ps.tile_state(sim), W, b, **dkw)
+        elif mlp_weights is not None:
+            W1, b1, W2, b2 = mlp_weights
+            final, rew, resets, _ = run(
+                ps.tile_state(sim), W1=W1, b1=b1, W2=W2, b2=b2, **dkw
+            )
         else:
             final, rew, resets, _ = run(ps.tile_state(sim), **dkw)
         return (

@@ -339,3 +339,35 @@ def test_scan_rollout_with_policy():
     assert np.isfinite(np.asarray(obs_traj)).all()
     # Two truncations happen inside 25 steps with horizon 10.
     assert np.asarray(done_traj).sum(axis=0).min() == 2
+
+
+def test_fused_eval_rollout_mlp_weights():
+    """BatchedEnv.fused_eval_rollout(mlp_weights=...) runs the in-kernel
+    tanh-MLP policy (interpret mode) and produces finite rewards that
+    depend on the weights."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    env = _env()
+    n = env.engine.n_joints
+    H, d = 4, ps.obs_dim(n)
+    key = jax.random.PRNGKey(0)
+    mk = lambda k, shape, s: s * jax.random.normal(jax.random.fold_in(key, k), shape)
+    w1 = (mk(1, (H, d), 0.3), mk(2, (H, 1), 0.1), mk(3, (n, H), 0.5), mk(4, (n, 1), 0.1))
+    w2 = tuple(2.0 * a for a in w1)
+    with pltpu.force_tpu_interpret_mode():
+        _, rew1, _ = env.fused_eval_rollout(
+            jax.random.PRNGKey(5), ps.TILE_ENVS, 3, mlp_weights=w1
+        )
+        _, rew2, _ = env.fused_eval_rollout(
+            jax.random.PRNGKey(5), ps.TILE_ENVS, 3, mlp_weights=w2
+        )
+    assert np.all(np.isfinite(np.asarray(rew1)))
+    assert float(jnp.abs(rew1 - rew2).max()) > 1e-8
+
+    with pytest.raises(ValueError, match="exactly one"):
+        env.fused_eval_rollout(
+            jax.random.PRNGKey(5), ps.TILE_ENVS, 3,
+            W=jnp.zeros((n, d)), mlp_weights=w1,
+        )

@@ -33,27 +33,22 @@ def forward_kinematics_model(
     W_v_WB = jnp.asarray(base_velocity_inertial, dtype=float)
 
     n_links = kdp.number_of_links()
-    lam = kdp.parent_array
+    lam = tuple(int(x) for x in kdp.parent_array_static)
     S = kdp.motion_subspaces
 
     i_X_li = kdp.joint_transforms(joint_positions=s, base_transform=W_H_B)
 
-    # W_X_i stacked transforms world→link; row 0 from the base row of i_X_λ.
-    W_X_i = jnp.zeros((n_links, 6, 6)).at[0].set(Adjoint.inverse(i_X_li[0]))
-    W_v_Wi = jnp.zeros((n_links, 6)).at[0].set(W_v_WB)
+    # Unrolled over the static parent array (no scan carry of (nL, 6, 6)
+    # buffers — see ops/aba.py for the rationale).
+    W_X_i = [Adjoint.inverse(i_X_li[0])] + [None] * (n_links - 1)
+    W_v_Wi = [W_v_WB] + [None] * (n_links - 1)
 
-    def propagate(carry, i):
-        W_X_i, W_v_Wi = carry
+    for i in range(1, n_links):
         li_X_i = Adjoint.inverse(i_X_li[i])
-        W_Xi = W_X_i[lam[i]] @ li_X_i
-        W_X_i = W_X_i.at[i].set(W_Xi)
-        W_vi = W_v_Wi[lam[i]] + mv(W_Xi, S[i] * sd[i - 1])
-        W_v_Wi = W_v_Wi.at[i].set(W_vi)
-        return (W_X_i, W_v_Wi), None
+        W_X_i[i] = W_X_i[lam[i]] @ li_X_i
+        W_v_Wi[i] = W_v_Wi[lam[i]] + mv(W_X_i[i], S[i] * sd[i - 1])
 
-    if n_links > 1:
-        (W_X_i, W_v_Wi), _ = jax.lax.scan(
-            propagate, (W_X_i, W_v_Wi), jnp.arange(1, n_links)
-        )
-
-    return Adjoint.to_transform(W_X_i), W_v_Wi
+    return (
+        Adjoint.to_transform(jnp.stack(W_X_i)),
+        jnp.stack(W_v_Wi),
+    )

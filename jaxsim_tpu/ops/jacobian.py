@@ -28,44 +28,32 @@ def base_kinematics_sweep(
     velocities and ``B_Ẋ_i (nL,6,6)`` adjoint derivatives."""
     s = jnp.asarray(joint_positions, dtype=float)
     n_links = kdp.number_of_links()
-    lam = kdp.parent_array
+    lam = tuple(int(x) for x in kdp.parent_array_static)
     S = kdp.motion_subspaces
 
     i_X_li = kdp.joint_transforms(joint_positions=s, base_transform=jnp.eye(4))
     li_X_i = Adjoint.inverse(i_X_li)
 
-    B_X_i = jnp.zeros((n_links, 6, 6)).at[0].set(jnp.eye(6))
+    # Unrolled over the static parent array (no scan carry of (nL, 6, 6)
+    # buffers — see ops/aba.py for the rationale).
+    B_X_i = [jnp.eye(6)] + [None] * (n_links - 1)
 
     if joint_velocities is None:
-
-        def sweep(carry, i):
-            B_X_i = carry
-            B_Xi = B_X_i[lam[i]] @ li_X_i[i]
-            return B_X_i.at[i].set(B_Xi), None
-
-        if n_links > 1:
-            B_X_i, _ = jax.lax.scan(sweep, B_X_i, jnp.arange(1, n_links))
-        return B_X_i, None, None
+        for i in range(1, n_links):
+            B_X_i[i] = B_X_i[lam[i]] @ li_X_i[i]
+        return jnp.stack(B_X_i), None, None
 
     sd = jnp.asarray(joint_velocities, dtype=float)
-    B_v_Bi = jnp.zeros((n_links, 6))
-    B_Xd_i = jnp.zeros((n_links, 6, 6))
+    B_v_Bi = [jnp.zeros(6)] + [None] * (n_links - 1)
+    B_Xd_i = [jnp.zeros((6, 6))] + [None] * (n_links - 1)
 
-    def sweep_vel(carry, i):
-        B_X_i, B_v_Bi, B_Xd_i = carry
-        B_Xi = B_X_i[lam[i]] @ li_X_i[i]
-        B_X_i = B_X_i.at[i].set(B_Xi)
-        B_vi = B_v_Bi[lam[i]] + mv(B_Xi, S[i]) * sd[i - 1]
-        B_v_Bi = B_v_Bi.at[i].set(B_vi)
-        i_v = mv(Adjoint.inverse(B_Xi), B_vi)
-        B_Xd_i = B_Xd_i.at[i].set(B_Xi @ Cross.vx(i_v))
-        return (B_X_i, B_v_Bi, B_Xd_i), None
+    for i in range(1, n_links):
+        B_X_i[i] = B_X_i[lam[i]] @ li_X_i[i]
+        B_v_Bi[i] = B_v_Bi[lam[i]] + mv(B_X_i[i], S[i]) * sd[i - 1]
+        i_v = mv(Adjoint.inverse(B_X_i[i]), B_v_Bi[i])
+        B_Xd_i[i] = B_X_i[i] @ Cross.vx(i_v)
 
-    if n_links > 1:
-        (B_X_i, B_v_Bi, B_Xd_i), _ = jax.lax.scan(
-            sweep_vel, (B_X_i, B_v_Bi, B_Xd_i), jnp.arange(1, n_links)
-        )
-    return B_X_i, B_v_Bi, B_Xd_i
+    return jnp.stack(B_X_i), jnp.stack(B_v_Bi), jnp.stack(B_Xd_i)
 
 
 def jacobian_full_doubly_left(

@@ -57,7 +57,7 @@ def rnea(
     )
     W_g = gravity_sixd(gravity)
 
-    lam = kdp.parent_array
+    lam = tuple(int(x) for x in kdp.parent_array_static)
     S = kdp.motion_subspaces
     M = kdp.link_parameters.spatial_inertia()
 
@@ -71,63 +71,41 @@ def rnea(
     W_X_B = Adjoint.from_transform(W_H_B0)
     B_X_W = Adjoint.from_transform(W_H_B0, inverse=True)
 
-    v = jnp.zeros((n_links, 6))
-    a = jnp.zeros((n_links, 6)).at[0].set(-mv(B_X_W, W_g))
-    f = jnp.zeros((n_links, 6))
-    i_X_0 = jnp.zeros((n_links, 6, 6)).at[0].set(jnp.eye(6))
+    # Unrolled over the static parent array (no scan carry of (nL, 6, 6)
+    # buffers — see ops/aba.py for the rationale).
+    zero6 = jnp.zeros(6)
+    v = [zero6] * n_links
+    a = [-mv(B_X_W, W_g)] + [zero6] * (n_links - 1)
+    f = [zero6] * n_links
 
     if floating_base:
-        v_0 = mv(B_X_W, W_v_WB)
-        v = v.at[0].set(v_0)
-        a_0 = mv(B_X_W, W_vd_WB - W_g)
-        a = a.at[0].set(a_0)
-        f_0 = (
-            mv(M[0], a_0)
-            + mv(Cross.vx_star(v_0) @ M[0], v_0)
+        v[0] = mv(B_X_W, W_v_WB)
+        a[0] = mv(B_X_W, W_vd_WB - W_g)
+        f[0] = (
+            mv(M[0], a[0])
+            + mv(Cross.vx_star(v[0]) @ M[0], v[0])
             - mtv(W_X_B, W_f[0])
         )
-        f = f.at[0].set(f_0)
 
-    def forward(carry, i):
-        v, a, i_X_0, f = carry
+    i_X_0 = [jnp.eye(6)] + [None] * (n_links - 1)
+    for i in range(1, n_links):
         vJ = S[i] * sd[i - 1]
-        v_i = mv(i_X_li[i], v[lam[i]]) + vJ
-        v = v.at[i].set(v_i)
-        a_i = mv(i_X_li[i], a[lam[i]]) + S[i] * sdd[i - 1] + mv(Cross.vx(v_i), vJ)
-        a = a.at[i].set(a_i)
-        i_X_0i = i_X_li[i] @ i_X_0[lam[i]]
-        i_X_0 = i_X_0.at[i].set(i_X_0i)
-        i_Xf_W = Adjoint.inverse(i_X_0i @ B_X_W).T
-        f_i = (
-            mv(M[i], a_i)
-            + mv(Cross.vx_star(v_i) @ M[i], v_i)
+        v[i] = mv(i_X_li[i], v[lam[i]]) + vJ
+        a[i] = mv(i_X_li[i], a[lam[i]]) + S[i] * sdd[i - 1] + mv(Cross.vx(v[i]), vJ)
+        i_X_0[i] = i_X_li[i] @ i_X_0[lam[i]]
+        i_Xf_W = Adjoint.inverse(i_X_0[i] @ B_X_W).T
+        f[i] = (
+            mv(M[i], a[i])
+            + mv(Cross.vx_star(v[i]) @ M[i], v[i])
             - mv(i_Xf_W, W_f[i])
         )
-        f = f.at[i].set(f_i)
-        return (v, a, i_X_0, f), None
 
-    if n_links > 1:
-        (v, a, i_X_0, f), _ = jax.lax.scan(
-            forward, (v, a, i_X_0, f), jnp.arange(1, n_links)
-        )
-
-    tau = jnp.zeros(n_joints)
-
-    def backward(carry, i):
-        tau, f = carry
-        tau = tau.at[i - 1].set(jnp.dot(S[i], f[i]))
-
-        def update(f):
-            return f.at[lam[i]].set(f[lam[i]] + mtv(i_X_li[i], f[i]))
-
-        f = jax.lax.cond(
-            jnp.logical_or(lam[i] != 0, floating_base), update, lambda f: f, f
-        )
-        return (tau, f), None
-
-    if n_links > 1:
-        (tau, f), _ = jax.lax.scan(backward, (tau, f), jnp.arange(n_links - 1, 0, -1))
+    tau = [jnp.asarray(0.0)] * n_joints
+    for i in range(n_links - 1, 0, -1):
+        tau[i - 1] = jnp.dot(S[i], f[i])
+        if lam[i] != 0 or floating_base:
+            f[lam[i]] = f[lam[i]] + mtv(i_X_li[i], f[i])
 
     # Base wrench, expressed in the world frame.
     W_f0 = mtv(B_X_W, f[0])
-    return W_f0, tau
+    return W_f0, (jnp.stack(tau) if n_joints else jnp.zeros(0))

@@ -160,14 +160,19 @@ def _step_tau_kernel(engine: BatchedEngine,
 
 
 def build_pallas_step_tau(engine: BatchedEngine, tile_sub: int | None = None):
-    """Return a jittable ``(state, tau) -> state`` fused step where
+    """Return a jittable ``(state, tau, pr=None) -> state`` fused step where
     ``tau`` has shape ``(n_joints, B1, 128)`` (state shapes as in
-    :func:`build_pallas_step`)."""
+    :func:`build_pallas_step`).
+
+    ``pr`` optionally overrides the engine's numeric model arrays (the
+    :meth:`BatchedEngine.params` pytree) — the arrays are kernel INPUTS, so
+    traced values (e.g. updated link inertias in a co-design loop) flow
+    through without recompiling."""
     n, nC = engine.n_joints, engine.n_points
     tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
     kernel = functools.partial(_step_tau_kernel, engine)
 
-    def step(state: BatchedState, tau) -> BatchedState:
+    def step(state: BatchedState, tau, pr=None) -> BatchedState:
         B1 = state.p.shape[-2]
         assert B1 % tile_sub == 0, f"batch rows {B1} not a multiple of {tile_sub}"
         grid = (B1 // tile_sub,)
@@ -184,7 +189,7 @@ def build_pallas_step_tau(engine: BatchedEngine, tile_sub: int | None = None):
             spec((n,)), spec((n,)), spec((3,)), spec((4,)), spec((6,)),
             spec((nC, 3)),
         ]
-        pr = engine.params()
+        pr = pr if pr is not None else engine.params()
 
         def full_spec(a):
             nd = a.ndim
@@ -222,28 +227,40 @@ def build_diff_pallas_step(engine: BatchedEngine, tile_sub: int | None = None):
     ``custom_vjp``, so ``jax.grad`` through rollouts runs the hot forward at
     Pallas speed).
 
-    Gradients flow to both the state (BPTT through the physics) and the
-    torques (policy-gradient / trajectory-optimization workloads). Memory
-    note: reverse-mode saves (state, tau) per step; wrap the step (or chunks
-    of the rollout) in ``jax.checkpoint`` for long horizons.
+    Gradients flow to the state (BPTT through the physics), the torques
+    (policy-gradient / trajectory-optimization workloads), and — when a
+    ``pr`` params pytree is passed — the model parameters themselves (link
+    spatial inertias ``pr["M"]``, contact points ``pr["cpoint"]``, joint
+    placements …), i.e. hardware co-design with the Pallas forward. Memory
+    note: reverse-mode saves (state, tau, pr) per step; wrap the step (or
+    chunks of the rollout) in ``jax.checkpoint`` for long horizons.
     """
     fwd_step = build_pallas_step_tau(engine, tile_sub=tile_sub)
+    param_order = ("S", "M", "axis", "lamH", "sucH", "cpoint")
 
     @jax.custom_vjp
-    def step(state: BatchedState, tau) -> BatchedState:
-        return fwd_step(state, tau)
+    def _step(state: BatchedState, tau, pr) -> BatchedState:
+        return fwd_step(state, tau, pr)
 
-    def step_fwd(state, tau):
-        return fwd_step(state, tau), (state, tau)
+    def step_fwd(state, tau, pr):
+        return fwd_step(state, tau, pr), (state, tau, pr)
 
     def step_bwd(residual, cotangent):
-        state, tau = residual
+        state, tau, pr = residual
         _, vjp_fn = jax.vjp(
-            lambda st, t: engine.step(st, t, engine.params()), state, tau
+            lambda st, t, p: engine.step(st, t, dict(p)), state, tau, pr
         )
         return vjp_fn(cotangent)
 
-    step.defvjp(step_fwd, step_bwd)
+    _step.defvjp(step_fwd, step_bwd)
+
+    def step(state: BatchedState, tau, pr=None) -> BatchedState:
+        base = engine.params()
+        pr = base if pr is None else {**base, **pr}
+        # Fixed key set so the custom_vjp pytree structure is stable.
+        pr = {k: jnp.asarray(pr[k], dtype=jnp.float32) for k in param_order}
+        return _step(state, tau, pr)
+
     return step
 
 
@@ -262,46 +279,60 @@ def build_diff_pallas_rollout(engine: BatchedEngine, n_steps: int,
     backward recomputes the chunk with the XLA engine and differentiates it
     (gradient checkpointing without ``jax.checkpoint``, which cannot
     rematerialize a ``pallas_call``).
+
+    The optional ``pr`` kwarg (a :meth:`BatchedEngine.params` pytree)
+    overrides the model parameters and is DIFFERENTIABLE: gradients w.r.t.
+    link inertias / contact points / joint placements flow through the
+    whole rollout (hardware co-design with the Pallas forward).
     """
     per_step = build_diff_pallas_step(engine, tile_sub=tile_sub)
+    param_order = ("S", "M", "axis", "lamH", "sucH", "cpoint")
 
-    def run_steps(state, policy_fn, policy_args, length):
+    def _norm_pr(pr):
+        base = engine.params()
+        pr = base if pr is None else {**base, **pr}
+        return {k: jnp.asarray(pr[k], dtype=jnp.float32) for k in param_order}
+
+    def run_steps(state, policy_fn, policy_args, pr, length):
         def body(st, _):
-            return per_step(st, policy_fn(st, *policy_args)), None
+            return per_step(st, policy_fn(st, *policy_args), pr), None
 
         out, _ = jax.lax.scan(body, state, None, length=length)
         return out
 
-    def xla_steps(state, policy_fn, policy_args, length):
+    def xla_steps(state, policy_fn, policy_args, pr, length):
         def body(st, _):
-            return engine.step(st, policy_fn(st, *policy_args), engine.params()), None
+            return engine.step(st, policy_fn(st, *policy_args), dict(pr)), None
 
         out, _ = jax.lax.scan(body, state, None, length=length)
         return out
 
-    def pallas_steps_fwd_only(state, policy_fn, policy_args, length):
+    def pallas_steps_fwd_only(state, policy_fn, policy_args, pr, length):
         step_tau = build_pallas_step_tau(engine, tile_sub=tile_sub)
 
         def body(st, _):
-            return step_tau(st, policy_fn(st, *policy_args)), None
+            return step_tau(st, policy_fn(st, *policy_args), pr), None
 
         out, _ = jax.lax.scan(body, state, None, length=length)
         return out
 
     def make_chunk(length):
         @jax.custom_vjp
-        def chunk(state, policy_args):
-            return pallas_steps_fwd_only(state, policy_fn_holder[0], policy_args, length)
+        def chunk(state, policy_args, pr):
+            return pallas_steps_fwd_only(
+                state, policy_fn_holder[0], policy_args, pr, length
+            )
 
-        def chunk_fwd(state, policy_args):
-            return chunk(state, policy_args), (state, policy_args)
+        def chunk_fwd(state, policy_args, pr):
+            return chunk(state, policy_args, pr), (state, policy_args, pr)
 
         def chunk_bwd(residual, cotangent):
-            state, policy_args = residual
+            state, policy_args, pr = residual
             _, vjp_fn = jax.vjp(
-                lambda st, a: xla_steps(st, policy_fn_holder[0], a, length),
+                lambda st, a, p: xla_steps(st, policy_fn_holder[0], a, p, length),
                 state,
                 policy_args,
+                pr,
             )
             return vjp_fn(cotangent)
 
@@ -313,10 +344,11 @@ def build_diff_pallas_rollout(engine: BatchedEngine, n_steps: int,
     policy_fn_holder = [None]
     chunks = {}
 
-    def rollout(state: BatchedState, policy_fn, *policy_args) -> BatchedState:
+    def rollout(state: BatchedState, policy_fn, *policy_args, pr=None) -> BatchedState:
         policy_fn_holder[0] = policy_fn
+        pr = _norm_pr(pr)
         if checkpoint_chunk is None:
-            return run_steps(state, policy_fn, policy_args, n_steps)
+            return run_steps(state, policy_fn, policy_args, pr, n_steps)
         n_chunks, rem = divmod(n_steps, checkpoint_chunk)
         if checkpoint_chunk not in chunks:
             chunks[checkpoint_chunk] = make_chunk(checkpoint_chunk)
@@ -324,11 +356,11 @@ def build_diff_pallas_rollout(engine: BatchedEngine, n_steps: int,
             chunks[rem] = make_chunk(rem)
 
         def body(st, _):
-            return chunks[checkpoint_chunk](st, policy_args), None
+            return chunks[checkpoint_chunk](st, policy_args, pr), None
 
         state, _ = jax.lax.scan(body, state, None, length=n_chunks)
         if rem:
-            state = chunks[rem](state, policy_args)
+            state = chunks[rem](state, policy_args, pr)
         return state
 
     return rollout

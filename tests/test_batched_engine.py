@@ -666,3 +666,72 @@ def test_mlp_policy_env_rollout_interpret():
         )
         > 1e-6
     )
+
+
+def test_diff_pallas_rollout_hw_param_gradient():
+    """Gradients w.r.t. the model parameters (link spatial inertias,
+    contact points) flow through the differentiable Pallas rollout and
+    match the XLA engine path — co-design with the fused forward
+    (BASELINE config 4)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024, key=jax.random.PRNGKey(0)))
+    import dataclasses as dc
+
+    st = dc.replace(
+        st, s=0.2 * jax.random.normal(jax.random.PRNGKey(1), st.s.shape)
+    )
+    base = eng.params()
+    policy = lambda s: -30.0 * s.s - 0.3 * s.sd
+
+    for chunk in (None, 2):
+        rollout = ps.build_diff_pallas_rollout(eng, 4, checkpoint_chunk=chunk)
+
+        def loss_pallas(Mscale):
+            pr = {**base, "M": base["M"] * Mscale}
+            out = rollout(st, policy, pr=pr)
+            return jnp.mean(out.sd**2) + jnp.mean(out.p[2])
+
+        def loss_engine(Mscale):
+            pr = {**base, "M": base["M"] * Mscale}
+
+            def body(s, _):
+                return eng.step(s, policy(s), pr), None
+
+            out, _ = jax.lax.scan(body, st, None, length=4)
+            return jnp.mean(out.sd**2) + jnp.mean(out.p[2])
+
+        with pltpu.force_tpu_interpret_mode():
+            val, grad = jax.value_and_grad(loss_pallas)(1.0)
+        rval, rgrad = jax.value_and_grad(loss_engine)(1.0)
+        assert_allclose(val, rval, rtol=1e-5, atol=1e-6, err_msg=f"chunk={chunk}")
+        assert_allclose(grad, rgrad, rtol=1e-4, atol=1e-7, err_msg=f"chunk={chunk}")
+        assert float(jnp.abs(grad)) > 0.0
+
+    # Contact-point gradient (morphology of the collision geometry):
+    # spawn in penetration so the contacts actually engage.
+    st = dc.replace(st, p=st.p.at[2].set(-0.01))
+    rollout = ps.build_diff_pallas_rollout(eng, 3)
+
+    def loss_cp(dz):
+        pr = {**base, "cpoint": base["cpoint"] + jnp.array([0.0, 0.0, dz])}
+        return jnp.mean(rollout(st, policy, pr=pr).p[2])
+
+    def loss_cp_ref(dz):
+        pr = {**base, "cpoint": base["cpoint"] + jnp.array([0.0, 0.0, dz])}
+
+        def body(s, _):
+            return eng.step(s, policy(s), pr), None
+
+        out, _ = jax.lax.scan(body, st, None, length=3)
+        return jnp.mean(out.p[2])
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss_cp)(0.0)
+    rg = jax.grad(loss_cp_ref)(0.0)
+    assert_allclose(g, rg, rtol=1e-4, atol=1e-7)
+    assert float(jnp.abs(g)) > 0.0

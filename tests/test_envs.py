@@ -316,7 +316,7 @@ def test_fused_eval_rollout_wrapper():
 
     with pytest.raises(ValueError, match="multiple of"):
         env.fused_eval_rollout(jax.random.PRNGKey(0), 100, 5)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="exactly one"):
         env.fused_eval_rollout(
             jax.random.PRNGKey(0), 1024, 5, policy=lambda s: s.s, W=W
         )

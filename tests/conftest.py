@@ -19,10 +19,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-dominated (many jitted
-# physics graphs); repeat runs hit the cache and finish in minutes.
+# physics graphs); repeat runs hit the cache and finish in minutes. The dir
+# is platform-suffixed: sharing one cache between this host's CPU tests and
+# tunneled-TPU sessions loads AOT CPU executables compiled for a DIFFERENT
+# machine type (the tunnel terminal snapshots its own compile env), which
+# can SIGILL mid-suite.
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -110,9 +110,10 @@ def main() -> None:
             state = jax.tree.map(put, state)
         data0 = state
 
-        # (32, 128) env tiles are ~25% faster than (8, 128) for the SIE
-        # humanoid; RK4 keeps 4 stages live so it stays at the default tile.
-        default_tile = 32 if integrator_name == "sie" else 8
+        # Measured fastest env tiles for the humanoid: (32, 128) for SIE
+        # (+25% over (8, 128)); (16, 128) for RK4, whose four live stages
+        # hit the VMEM ceiling at taller tiles.
+        default_tile = 32 if integrator_name == "sie" else 16
         tile_sub = int(os.environ.get("BENCH_TILE", str(default_tile)))
 
         def make_run(path):

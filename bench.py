@@ -166,6 +166,94 @@ def main() -> None:
     p50_step_ms = dt_s / n_steps * 1e3
 
     extra_latency = {}
+    if os.environ.get("BENCH_EXTRAS", "1") == "1" and not use_vmap_path:
+        from jaxsim_tpu.ops import pallas_step as _ps
+        from jaxsim_tpu.ops.contacts.relaxed_rigid import RelaxedRigidContacts
+
+        # --- relaxed-rigid contacts on the fused path (BASELINE config 5) ---
+        try:
+            model_rr = js.JaxSimModel.build_from_model_description(
+                models.build_humanoid_urdf(),
+                contact_model=RelaxedRigidContacts(),
+                integrator=integrator,
+            )
+            eng_rr = BatchedEngine.build(model_rr)
+            st_rr = _ps.tile_state(
+                eng_rr.init_state(batch_size, key=jax.random.PRNGKey(3))
+            )
+            rr_steps = int(os.environ.get("BENCH_RR_STEPS", "200"))
+            run_rr = jax.jit(
+                _ps.build_pallas_rollout(eng_rr, rr_steps, tile_sub=8)
+            )
+            o = run_rr(st_rr)
+            jax.block_until_ready(o.p)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                o = run_rr(o)
+                jax.block_until_ready(o.p)
+                ts.append(time.perf_counter() - t0)
+            extra_latency["env_steps_per_sec_relaxed_rigid_fused"] = round(
+                batch_size * rr_steps / sorted(ts)[1], 1
+            )
+            extra_latency["relaxed_rigid_finite"] = bool(
+                jnp.all(jnp.isfinite(o.p)).item()
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't fail the bench
+            extra_latency["relaxed_rigid_error"] = f"{type(e).__name__}"
+            try:
+                # XLA engine fallback for the relaxed-rigid number.
+                st_rr = eng_rr.init_state(1024, key=jax.random.PRNGKey(3))
+                run_rr = jax.jit(lambda s: eng_rr.rollout(s, 50))
+                o = run_rr(st_rr)
+                jax.block_until_ready(o.p)
+                t0 = time.perf_counter()
+                o = run_rr(o)
+                jax.block_until_ready(o.p)
+                extra_latency["env_steps_per_sec_relaxed_rigid_engine"] = round(
+                    1024 * 50 / (time.perf_counter() - t0), 1
+                )
+            except Exception:  # noqa: BLE001
+                pass
+
+        # --- gradient path (BASELINE config 4): policy grads through a
+        # 100-step rollout with the fused Pallas forward + XLA backward ---
+        try:
+            grad_steps = int(os.environ.get("BENCH_GRAD_STEPS", "100"))
+            grad_B = int(os.environ.get("BENCH_GRAD_BATCH", "8192"))
+            eng_g = BatchedEngine.build(model)
+            st_g = _ps.tile_state(
+                eng_g.init_state(grad_B, key=jax.random.PRNGKey(4))
+            )
+            rollout_g = _ps.build_diff_pallas_rollout(
+                eng_g, grad_steps, checkpoint_chunk=25, tile_sub=8
+            )
+
+            def policy_fn(s, gains):
+                return -gains[0] * s.s - gains[1] * s.sd
+
+            @jax.jit
+            def loss_grad(gains):
+                out_ = rollout_g(st_g, policy_fn, gains)
+                return jnp.mean(out_.sd**2) + jnp.mean(out_.p[2])
+
+            g = jax.grad(loss_grad)(jnp.array([60.0, 0.5]))
+            jax.block_until_ready(g)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                g = jax.grad(loss_grad)(jnp.array([60.0, 0.5]))
+                jax.block_until_ready(g)
+                ts.append(time.perf_counter() - t0)
+            extra_latency["grad_env_steps_per_sec"] = round(
+                grad_B * grad_steps / sorted(ts)[1], 1
+            )
+            extra_latency["grad_finite"] = bool(
+                jnp.all(jnp.isfinite(g)).item()
+            )
+        except Exception as e:  # noqa: BLE001
+            extra_latency["grad_error"] = f"{type(e).__name__}"
+
     if os.environ.get("BENCH_FULL", "0") == "1":
         # BASELINE asks for B=1/1024 latencies too (generic step path).
         import jaxsim_tpu.api as _js

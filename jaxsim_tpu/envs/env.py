@@ -23,28 +23,69 @@ from jaxsim_tpu.ops.batched_engine import BatchedEngine, BatchedState
 from jaxsim_tpu.utils import pytree_dataclass
 
 
-@functools.lru_cache(maxsize=32)
+def _callable_key(fn):
+    """Structural cache key for a callable: ``(code, closure, defaults)``.
+
+    A fresh lambda created by re-executing the same source line gets the
+    SAME code object, so training loops that rebuild their policy/reward
+    closures each iteration still hit the kernel cache (identity hashing —
+    the previous behavior — silently recompiled every call). Falls back to
+    the function object itself when the closure isn't hashable.
+    """
+    if fn is None:
+        return None
+    try:
+        cells = tuple(c.cell_contents for c in (fn.__closure__ or ()))
+        hash(cells)
+        return (fn.__code__, cells, fn.__defaults__)
+    except Exception:  # noqa: BLE001 — unhashable closure / exotic callable
+        return fn
+
+
+_FUSED_EVAL_CACHE: dict = {}
+
+
 def _build_fused_eval(
     env: "BatchedEnv", n_steps: int, policy, linear: bool, mlp_hidden,
     domain: bool
 ):
     """Cache the built (and jitted) eval-rollout per (env, horizon, policy)
-    so repeated fused_eval_rollout calls reuse the compiled kernel."""
+    so repeated fused_eval_rollout calls reuse the compiled kernel. Policy /
+    reward / obs callables are keyed structurally (see
+    :func:`_callable_key`), so passing a fresh-but-identical lambda per
+    call does NOT recompile the kernel."""
     from jaxsim_tpu.ops import pallas_step as ps
 
-    return jax.jit(
-        ps.build_pallas_env_rollout(
-            env.engine,
-            n_steps,
-            policy=policy,
-            reward=env.reward_fn,
-            episode_length=env.episode_length,
-            healthy_z_range=env.healthy_z_range,
-            linear_policy=linear,
-            mlp_policy=mlp_hidden,
-            domain=domain,
-        )
+    key = (
+        env.engine,
+        env.episode_length,
+        env.healthy_z_range,
+        _callable_key(env.reward_fn),
+        n_steps,
+        _callable_key(policy),
+        linear,
+        mlp_hidden,
+        domain,
     )
+    fn = _FUSED_EVAL_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            ps.build_pallas_env_rollout(
+                env.engine,
+                n_steps,
+                policy=policy,
+                reward=env.reward_fn,
+                episode_length=env.episode_length,
+                healthy_z_range=env.healthy_z_range,
+                linear_policy=linear,
+                mlp_policy=mlp_hidden,
+                domain=domain,
+            )
+        )
+        if len(_FUSED_EVAL_CACHE) >= 32:
+            _FUSED_EVAL_CACHE.pop(next(iter(_FUSED_EVAL_CACHE)))
+        _FUSED_EVAL_CACHE[key] = fn
+    return fn
 
 
 @pytree_dataclass

@@ -93,6 +93,115 @@ class MujocoModelHelper:
     def joint_position(self, joint_name: str) -> float:
         return float(self.data.qpos[self._qpos_addr(joint_name)])
 
+    def joint_positions(self, joint_names=None) -> npt.NDArray:
+        names = joint_names if joint_names is not None else self.joint_names()
+        names = [n for n in names if n is not None]
+        return np.array([self.joint_position(n) for n in names])
+
+    # ----- joint velocities (reference ``mujoco/model.py`` dof API) -----
+
+    def _dof_addr(self, joint_name: str) -> int:
+        import mujoco
+
+        jid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_JOINT, joint_name)
+        if jid < 0:
+            raise ValueError(f"Joint '{joint_name}' not found")
+        return int(self.model.jnt_dofadr[jid])
+
+    def set_joint_velocity(self, joint_name: str, velocity: float) -> None:
+        self.data.qvel[self._dof_addr(joint_name)] = float(velocity)
+
+    def set_joint_velocities(self, joint_names, velocities) -> None:
+        for name, vel in zip(
+            joint_names, np.atleast_1d(np.asarray(velocities))
+        ):
+            self.set_joint_velocity(name, vel)
+
+    def joint_velocity(self, joint_name: str) -> float:
+        return float(self.data.qvel[self._dof_addr(joint_name)])
+
+    def joint_velocities(self, joint_names=None) -> npt.NDArray:
+        names = joint_names if joint_names is not None else self.joint_names()
+        names = [n for n in names if n is not None]
+        return np.array([self.joint_velocity(n) for n in names])
+
+    # ----- base velocity -----
+    #
+    # MuJoCo freejoint qvel convention: indices 0:3 are the base linear
+    # velocity in the WORLD frame, 3:6 the angular velocity in the BODY
+    # frame (validated against mj_objectVelocity in
+    # ``tests/test_mujoco_oracle.py``).
+
+    def set_base_linear_velocity(self, velocity: npt.NDArray) -> None:
+        """World-frame linear velocity of the free base."""
+        if not self.is_floating_base():
+            raise ValueError("Model is not floating-base")
+        self.data.qvel[0:3] = np.asarray(velocity)
+
+    def set_base_angular_velocity(self, velocity: npt.NDArray) -> None:
+        """Body-frame angular velocity of the free base."""
+        if not self.is_floating_base():
+            raise ValueError("Model is not floating-base")
+        self.data.qvel[3:6] = np.asarray(velocity)
+
+    def base_linear_velocity(self) -> npt.NDArray:
+        return np.array(self.data.qvel[0:3])
+
+    def base_angular_velocity(self) -> npt.NDArray:
+        return np.array(self.data.qvel[3:6])
+
+    # ----- free-form named qpos/qvel access -----
+
+    def qpos_of(self, joint_name: str) -> npt.NDArray:
+        """All qpos entries of a joint (7 for free, 1 for hinge/slide)."""
+        import mujoco
+
+        jid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_JOINT, joint_name)
+        if jid < 0:
+            raise ValueError(f"Joint '{joint_name}' not found")
+        adr = int(self.model.jnt_qposadr[jid])
+        size = {
+            mujoco.mjtJoint.mjJNT_FREE: 7,
+            mujoco.mjtJoint.mjJNT_BALL: 4,
+        }.get(self.model.jnt_type[jid], 1)
+        return np.array(self.data.qpos[adr : adr + size])
+
+    def set_qpos_of(self, joint_name: str, value: npt.NDArray) -> None:
+        import mujoco
+
+        jid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_JOINT, joint_name)
+        if jid < 0:
+            raise ValueError(f"Joint '{joint_name}' not found")
+        adr = int(self.model.jnt_qposadr[jid])
+        value = np.atleast_1d(np.asarray(value, dtype=float))
+        self.data.qpos[adr : adr + value.size] = value
+
+    # ----- time / misc -----
+
+    def time(self) -> float:
+        return float(self.data.time)
+
+    def timestep(self) -> float:
+        return float(self.model.opt.timestep)
+
+    def set_timestep(self, dt: float) -> None:
+        self.model.opt.timestep = float(dt)
+
+    def gravity(self) -> npt.NDArray:
+        return np.array(self.model.opt.gravity)
+
+    def set_gravity(self, gravity: npt.NDArray) -> None:
+        self.model.opt.gravity = np.asarray(gravity)
+
+    def number_of_joints(self) -> int:
+        return int(self.model.njnt)
+
+    def number_of_dofs(self) -> int:
+        return int(self.model.nv)
+
+    def total_mass(self) -> float:
+        return float(np.sum(self.model.body_mass))
+
     def forward(self) -> None:
         import mujoco
 

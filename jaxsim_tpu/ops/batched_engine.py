@@ -206,9 +206,9 @@ def _build_X(R, p):
     return jnp.concatenate([top, bot], axis=0)
 
 
-def _chol6_solve(M, b):
-    """Solve M x = b for SPD (6,6,*b) M and (6,*b) b with a hand-unrolled
-    Cholesky — all ops element-wise over the batch."""
+def _chol6_factor(M):
+    """Hand-unrolled Cholesky factor L of an SPD (6,6,*b) matrix — all ops
+    element-wise over the batch. Returns a 6×6 lower list-of-lists."""
     L = [[None] * 6 for _ in range(6)]
     for i in range(6):
         s = M[i, i]
@@ -221,6 +221,11 @@ def _chol6_solve(M, b):
             for k in range(i):
                 s = s - L[j][k] * L[i][k]
             L[j][i] = s * inv_d
+    return L
+
+
+def _chol6_substitute(L, b):
+    """Forward/backward substitution with a :func:`_chol6_factor` factor."""
     y = [None] * 6
     for i in range(6):
         s = b[i]
@@ -234,6 +239,11 @@ def _chol6_solve(M, b):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
     return jnp.stack(x)
+
+
+def _chol6_solve(M, b):
+    """Solve M x = b for SPD (6,6,*b) M and (6,*b) b."""
+    return _chol6_substitute(_chol6_factor(M), b)
 
 
 def _skew3(a, bshape):
@@ -295,6 +305,22 @@ class BatchedEngine:
     # "rk4fast" (RK4 with contact forces frozen at t0) — mirrors the generic
     # api.integrators choices (reference ``api/integrators.py``).
     integrator: str = "sie"
+    # Contact model: "soft" (Hunt/Crossley) or "relaxed_rigid" (MJX-style
+    # soft-constraint solve, reference ``rbda/contacts/relaxed_rigid.py``).
+    contact_model: str = "soft"
+    # Relaxed-rigid parameters (resolved scalars; see ops/contacts/
+    # relaxed_rigid.py for the K/D resolution from the time constant).
+    rr_d_min: float = 0.9
+    rr_d_max: float = 0.95
+    rr_width: float = 0.001
+    rr_midpoint: float = 0.5
+    rr_power: float = 2.0
+    rr_stiff: float = 0.0
+    rr_damp: float = 0.0
+    rr_reg: float = 1e-6
+    # Fixed PCG iteration count for the contact solve (0 = auto:
+    # min(3·nC, 32); tests use 3·nC + 4 for exact-solve agreement).
+    rr_iterations: int = 0
 
     # Numeric model arrays, kept as nested tuples (hashable, numpy-convertible).
     _S: tuple = dataclasses.field(repr=False, default=())
@@ -303,15 +329,18 @@ class BatchedEngine:
     _lambda_H_pre: tuple = dataclasses.field(repr=False, default=())
     _suc_H_i: tuple = dataclasses.field(repr=False, default=())
     _contact_point: tuple = dataclasses.field(repr=False, default=())
+    _rr_Minv: tuple = dataclasses.field(repr=False, default=())
 
     @staticmethod
     def build(model) -> "BatchedEngine":
+        from jaxsim_tpu.ops.contacts.relaxed_rigid import RelaxedRigidContacts
         from jaxsim_tpu.ops.contacts.soft import SoftContacts
         from jaxsim_tpu.terrain import FlatTerrain
 
-        # The fused hot path implements flat/inclined-plane terrain and soft
-        # contacts with all three fixed-step integrators (SIE / RK4 /
-        # RK4-fast); other configurations use the generic js.model.step path.
+        # The fused hot path implements flat/inclined-plane terrain and
+        # soft or relaxed-rigid contacts with all three fixed-step
+        # integrators (SIE / RK4 / RK4-fast); other configurations use the
+        # generic js.model.step path.
         if not isinstance(model.terrain, FlatTerrain):
             raise ValueError(
                 "BatchedEngine supports flat/plane terrain; use the generic"
@@ -321,10 +350,34 @@ class BatchedEngine:
             float(x) for x in getattr(model.terrain, "_normal", (0.0, 0.0, 1.0))
         )
         t_offset = t_normal[2] * float(getattr(model.terrain, "_height", 0.0))
-        if not isinstance(model.contact_model, SoftContacts):
+        rr = {}
+        if isinstance(model.contact_model, RelaxedRigidContacts):
+            p = model.contact_params
+            xi_max = float(p.d_max)
+            Omega = float(p.time_constant)
+            zeta = float(p.damping_coefficient)
+            K_user, D_user = float(p.K), float(p.D)
+            stiff = 1.0 / (xi_max * Omega * zeta) ** 2
+            damp = 2.0 / (xi_max * Omega)
+            if K_user < 0:
+                stiff = -K_user / xi_max**2
+            if D_user < 0:
+                damp = -D_user / xi_max
+            rr = dict(
+                contact_model="relaxed_rigid",
+                rr_d_min=float(p.d_min),
+                rr_d_max=xi_max,
+                rr_width=float(p.width),
+                rr_midpoint=float(p.midpoint),
+                rr_power=float(p.power),
+                rr_stiff=stiff,
+                rr_damp=damp,
+                rr_reg=float(model.contact_model.regularization),
+            )
+        elif not isinstance(model.contact_model, SoftContacts):
             raise ValueError(
-                "BatchedEngine implements soft contacts; use the generic"
-                " js.model.step path for rigid/relaxed-rigid models"
+                "BatchedEngine implements soft and relaxed-rigid contacts;"
+                " use the generic js.model.step path for rigid (QP) models"
             )
         from jaxsim_tpu.api.model import IntegratorType
 
@@ -337,18 +390,34 @@ class BatchedEngine:
         cp = kdp.contact_parameters
         idx = cp.indices_of_enabled_collidable_points
         pars = model.contact_params
+        if rr:
+            # Per-point inverse 3×3 linear-mass blocks of the parent links
+            # (static — used by the diagonal regularizer and the Jacobi
+            # preconditioner of the contact PCG).
+            M_L = np.asarray(kdp.link_parameters.spatial_inertia())
+            rr["_rr_Minv"] = _freeze(
+                np.stack(
+                    [
+                        np.linalg.inv(M_L[int(cp.body[i])][0:3, 0:3])
+                        for i in idx
+                    ]
+                )
+                if len(idx)
+                else np.zeros((0, 3, 3))
+            )
         return BatchedEngine(
+            **rr,
             n_links=kdp.number_of_links(),
             n_joints=kdp.number_of_joints(),
             n_points=len(idx),
             lam=tuple(kdp.parent_array_static),
             joint_types=tuple(kdp.joint_model.joint_types),
             contact_parent=tuple(int(cp.body[i]) for i in idx),
-            K=float(pars.K),
-            D=float(pars.D),
+            K=float(getattr(pars, "K", 0.0)) if not rr else 0.0,
+            D=float(getattr(pars, "D", 0.0)) if not rr else 0.0,
             mu=float(pars.mu),
-            hc_p=float(pars.p),
-            hc_q=float(pars.q),
+            hc_p=float(getattr(pars, "p", 0.0)),
+            hc_q=float(getattr(pars, "q", 0.0)),
             gravity_z=float(model.gravity),
             dt=float(model.time_step),
             floating_base=model.floating_base(),
@@ -377,6 +446,11 @@ class BatchedEngine:
             cpoint=jnp.asarray(np.asarray(self._contact_point), dtype=float)
             if self.n_points
             else jnp.zeros((0, 3)),
+            **(
+                dict(rrMinv=jnp.asarray(np.asarray(self._rr_Minv), dtype=float))
+                if self.contact_model == "relaxed_rigid"
+                else {}
+            ),
         )
 
     # ----- state conversion -----
@@ -387,9 +461,10 @@ class BatchedEngine:
         m = data.contact_state.get("tangential_deformation")
         if m is None:
             m = jnp.zeros((data.joint_positions.shape[0], self.n_points, 3))
+        B = data.base_position.shape[0]
         return BatchedState(
-            s=T(data.joint_positions, -1).reshape(self.n_joints, -1),
-            sd=T(data.joint_velocities, -1).reshape(self.n_joints, -1),
+            s=T(data.joint_positions, -1).reshape(self.n_joints, B),
+            sd=T(data.joint_velocities, -1).reshape(self.n_joints, B),
             p=T(data.base_position, -1),
             q=T(data.base_quaternion, -1),
             v=jnp.concatenate(
@@ -616,15 +691,317 @@ class BatchedEngine:
         md_all = jnp.stack(md_list) if md_list else jnp.zeros_like(m)
         return f_links, md_all
 
+    # ----- relaxed-rigid contacts -----
+
+    @property
+    def _rr_n_iter(self) -> int:
+        if self.rr_iterations:
+            return int(self.rr_iterations)
+        return min(3 * self.n_points, 32) if self.n_points else 0
+
+    def _minv_apply(self, fact, f_loc, bshape, pr):
+        """Zero-velocity articulated substitution passes: link-frame spatial
+        forces ``f_loc`` (list, None allowed) → link-frame accelerations +
+        joint accelerations, i.e. the generalized M⁻¹ Jᵀ action reusing the
+        configuration-only factorization from :meth:`aba` (``return_aux``).
+        O(n) per application — Featherstone's ABA-as-M⁻¹ view, the same
+        trick the reference uses in ``rbda/mass_inverse.py``."""
+        nL = self.n_links
+        zeros6 = jnp.zeros((6,) + bshape)
+        pA = [
+            (-f_loc[i]) if f_loc[i] is not None else zeros6 for i in range(nL)
+        ]
+        u = [None] * nL
+        for i in range(nL - 1, 0, -1):
+            lam = self.lam[i]
+            S = pr["S"][i]
+            if not _MOSAIC:
+                u[i] = -jnp.einsum("i,i...->...", S, pA[i])
+            else:
+                u[i] = -sum(S[j] * pA[i][j] for j in range(6))
+            pa = pA[i] + fact["U"][i] * (u[i] / fact["d"][i])
+            if lam != 0 or self.floating_base:
+                pA[lam] = pA[lam] + _xtf(fact["inv_R"][i], fact["inv_p"][i], pa)
+
+        a = [None] * nL
+        if self.floating_base:
+            a[0] = -_chol6_substitute(fact["L0"], pA[0])
+        else:
+            a[0] = zeros6
+        sdd = [None] * self.n_joints
+        for i in range(1, nL):
+            lam = self.lam[i]
+            a_i = _xv(fact["inv_R"][i], fact["inv_p"][i], a[lam])
+            if not _MOSAIC:
+                sdd_i = (
+                    u[i] - jnp.einsum("i...,i...->...", fact["U"][i], a_i)
+                ) / fact["d"][i]
+            else:
+                sdd_i = (
+                    u[i] - sum(fact["U"][i][j] * a_i[j] for j in range(6))
+                ) / fact["d"][i]
+            sdd[i - 1] = sdd_i
+            a[i] = a_i + jnp.stack([pr["S"][i][k] * sdd_i for k in range(6)])
+        sdd_out = jnp.stack(sdd) if sdd else jnp.zeros((0,) + bshape)
+        return a, sdd_out
+
+    def relaxed_rigid_contact_forces(
+        self, state: BatchedState, W_R, W_p, W_v, tau, pr=None,
+        return_accelerations: bool = False,
+    ):
+        """Relaxed-rigid (MJX-style soft-constraint) contact solve, trailing
+        batch (reference ``rbda/contacts/relaxed_rigid.py:283-653`` /
+        repo ``ops/contacts/relaxed_rigid.py``).
+
+        The SPD system ``A x = −b`` with ``A = G + diag(r) + reg·I`` and
+        ``G = J M⁻¹ Jᵀ`` (Delassus) is solved MATRIX-FREE with a fixed
+        number of Jacobi-preconditioned CG iterations: each ``G·y``
+        application scatters point forces to link-frame wrenches, runs the
+        O(n) articulated substitution passes (:meth:`_minv_apply`, reusing
+        the per-step factorization), and gathers point accelerations — all
+        element-wise over the batch, Mosaic-lowerable, no gathers and no
+        data-dependent loop bounds.
+
+        Returns ``(f_links, accelerations)`` where ``f_links`` are world
+        6D contact forces per link and ``accelerations`` is ``(W_a, sdd)``
+        of the full contact-coupled dynamics (superposition of the free
+        ABA and ``M⁻¹ Jᵀ x`` — exact, since forces enter linearly) when
+        ``return_accelerations`` else None.
+        """
+        pr = pr if pr is not None else self.params()
+        bshape = state.p.shape[1:]
+        nL, nC = self.n_links, self.n_points
+        ax, ay, az = self.terrain_normal
+        off = self.terrain_offset
+        flat = (ax, ay, az) == (0.0, 0.0, 1.0) and off == 0.0
+        mu = self.mu
+        width = self.rr_width
+        mid, power = self.rr_midpoint, self.rr_power
+        xi_min, xi_max = self.rr_d_min, self.rr_d_max
+        reg = self.rr_reg
+        zb = jnp.zeros(bshape)
+
+        # Free dynamics (gravity + torques, no contacts) + factorization.
+        f_none = [None] * nL
+        W_a_free, sdd_free, fact = self.aba(
+            state, W_R, W_p, W_v, f_none, tau, pr, return_aux=True
+        )
+        a_free = fact["a"]
+        gzb = jnp.full(bshape, self.gravity_z)
+        if "gmul" in pr:
+            gzb = gzb * pr["gmul"]
+
+        # Per-point constraint data.
+        pc_l, act_l, b_l, prec_l, rdiag_l, Lpb_l, Rp_l = [], [], [], [], [], [], []
+        for c in range(nC):
+            parent = self.contact_parent[c]
+            Lp = pr["cpoint"][c]
+            Rp, pp, vp = W_R[parent], W_p[parent], W_v[parent]
+            Lpb = _bvec(Lp, 3, bshape)
+            pc = _rv(Rp, Lpb) + pp
+            omega = vp[3:6]
+            pd = vp[0:3] + _cross(omega, pc)
+
+            if flat:
+                delta = jnp.maximum(0.0, -pc[2])
+            else:
+                ndotp = ax * pc[0] + ay * pc[1] + az * pc[2]
+                delta = jnp.maximum(0.0, off - ndotp)
+            active = (delta > 0).astype(pc.dtype)
+
+            # Impedance ξ per component of pos = −δ n̂ (elementwise sigmoid,
+            # reference ``relaxed_rigid.py:525-653``).
+            n_hat = (ax, ay, az)
+            xi, aref, coeff = [], [], []
+            for j in range(3):
+                pos_j = -delta * n_hat[j]
+                x_j = delta * abs(n_hat[j]) / width
+                ya = (1.0 / mid ** (power - 1.0)) * jnp.power(x_j, power)
+                yb = 1.0 - (1.0 / (1.0 - mid) ** (power - 1.0)) * jnp.power(
+                    jnp.clip(1.0 - x_j, 0.0, None), power
+                )
+                y_j = jnp.where(x_j < mid, ya, yb)
+                xi_j = jnp.clip(
+                    xi_min + y_j * (xi_max - xi_min), xi_min, xi_max
+                )
+                xi_j = jnp.where(x_j > 1.0, xi_max, xi_j)
+                xi.append(xi_j)
+                aref.append(
+                    -(self.rr_damp * pd[j] + self.rr_stiff * xi_j * pos_j)
+                )
+                coeff.append(
+                    (2.0 * mu * mu * (1.0 - xi_j) / (xi_j + 1e-12))
+                    * (1.0 + mu * mu)
+                )
+
+            # Free point acceleration: p̈ = R(a_lin + ω̇×Lp) + g + ω×ṗ
+            # (true world second derivative; equals Jl ν̇_free + J̇l ν).
+            af = a_free[parent]
+            acc = _rv(Rp, af[0:3] + _cross(af[3:6], Lpb))
+            wxpd = _cross(omega, pd)
+            pdd = jnp.stack(
+                [acc[0] + wxpd[0], acc[1] + wxpd[1], acc[2] + gzb + wxpd[2]]
+            )
+
+            Minv = pr["rrMinv"][c]
+            b_c, prec_c, r_c = [], [], []
+            for j in range(3):
+                r_j = active * sum(coeff[i] * Minv[i, j] for i in range(3))
+                r_c.append(r_j)
+                b_c.append(active * (pdd[j] - aref[j]))
+                prec_c.append(active * Minv[j, j] + r_j + reg)
+            pc_l.append(pc)
+            act_l.append(active)
+            b_l.append(b_c)
+            prec_l.append(prec_c)
+            rdiag_l.append(r_c)
+            Lpb_l.append(Lpb)
+            Rp_l.append(Rp)
+
+        def A_apply(y):
+            """A y = G y + (r + reg) y."""
+            f_loc = [None] * nL
+            for c in range(nC):
+                parent = self.contact_parent[c]
+                yc = jnp.stack([act_l[c] * y[c][j] for j in range(3)])
+                Rty = _rtv(Rp_l[c], yc)
+                f6 = jnp.concatenate([Rty, _cross(Lpb_l[c], Rty)])
+                f_loc[parent] = (
+                    f6 if f_loc[parent] is None else f_loc[parent] + f6
+                )
+            a_c, _ = self._minv_apply(fact, f_loc, bshape, pr)
+            out = []
+            for c in range(nC):
+                parent = self.contact_parent[c]
+                ac = a_c[parent]
+                acc = _rv(Rp_l[c], ac[0:3] + _cross(ac[3:6], Lpb_l[c]))
+                out.append(
+                    [
+                        act_l[c] * acc[j] + (rdiag_l[c][j] + reg) * y[c][j]
+                        for j in range(3)
+                    ]
+                )
+            return out
+
+        def dot(xs, ys):
+            return sum(
+                xs[c][j] * ys[c][j] for c in range(nC) for j in range(3)
+            )
+
+        def stack_cj(lists):
+            return jnp.stack(
+                [jnp.stack([lists[c][j] for j in range(3)]) for c in range(nC)]
+            )
+
+        def unstack_cj(arr):
+            return [[arr[c, j] for j in range(3)] for c in range(nC)]
+
+        # Jacobi-preconditioned CG on A x = −b, fixed iteration count. The
+        # loop body runs under lax.scan so the (large) G-apply graph is
+        # traced ONCE — unrolling it made XLA/Mosaic compiles intractable
+        # for many-point models — while staying reverse-AD-compatible
+        # (scan, not fori_loop).
+        r0 = [[-b_l[c][j] for j in range(3)] for c in range(nC)]
+        z0 = [[r0[c][j] / prec_l[c][j] for j in range(3)] for c in range(nC)]
+        x0s = jnp.zeros((nC, 3) + bshape)
+        # scan carries (x, r, p, rz); the search direction p starts at z.
+        carry0 = (x0s, stack_cj(r0), stack_cj(z0), dot(r0, z0))
+
+        def cg_step(carry, _):
+            xs, rs, ps, rz = carry
+            p_l = unstack_cj(ps)
+            Ap = A_apply(p_l)
+            alpha = rz / (dot(p_l, Ap) + 1e-20)
+            x_n = [
+                [xs[c, j] + alpha * p_l[c][j] for j in range(3)]
+                for c in range(nC)
+            ]
+            r_n = [
+                [rs[c, j] - alpha * Ap[c][j] for j in range(3)]
+                for c in range(nC)
+            ]
+            z_n = [
+                [r_n[c][j] / prec_l[c][j] for j in range(3)]
+                for c in range(nC)
+            ]
+            rz_n = dot(r_n, z_n)
+            beta = rz_n / (rz + 1e-20)
+            p_n = [
+                [z_n[c][j] + beta * p_l[c][j] for j in range(3)]
+                for c in range(nC)
+            ]
+            return (stack_cj(x_n), stack_cj(r_n), stack_cj(p_n), rz_n), None
+
+        (xs, _, _, _), _ = jax.lax.scan(
+            cg_step, carry0, None, length=self._rr_n_iter
+        )
+        x = unstack_cj(xs)
+
+        # World contact wrenches per link.
+        f_links = [None] * nL
+        f_loc = [None] * nL
+        for c in range(nC):
+            parent = self.contact_parent[c]
+            xc = jnp.stack([x[c][0], x[c][1], x[c][2]])
+            f6 = jnp.concatenate([xc, _cross(pc_l[c], xc)])
+            f_links[parent] = (
+                f6 if f_links[parent] is None else f_links[parent] + f6
+            )
+            Rtx = _rtv(Rp_l[c], xc)
+            f6_loc = jnp.concatenate([Rtx, _cross(Lpb_l[c], Rtx)])
+            f_loc[parent] = (
+                f6_loc if f_loc[parent] is None else f_loc[parent] + f6_loc
+            )
+
+        if not return_accelerations:
+            return f_links, None
+
+        a_cont, sdd_cont = self._minv_apply(fact, f_loc, bshape, pr)
+        if self.floating_base:
+            a0 = a_free[0] + a_cont[0]
+            zb6 = jnp.stack([zb, zb, gzb, zb, zb, zb])
+            W_a = _xv(W_R[0], W_p[0], a0) + zb6
+        else:
+            W_a = jnp.zeros((6,) + bshape)
+        return f_links, (W_a, sdd_free + sdd_cont)
+
+    def _contact_forces(self, state: BatchedState, W_R, W_p, W_v, tau, pr):
+        """Contact-model dispatch → (per-link world 6D forces, ṁ)."""
+        if self.n_points == 0:
+            return [None] * self.n_links, jnp.zeros_like(state.m)
+        if self.contact_model == "relaxed_rigid":
+            f_links, _ = self.relaxed_rigid_contact_forces(
+                state, W_R, W_p, W_v, tau, pr
+            )
+            return f_links, jnp.zeros_like(state.m)
+        return self.soft_contact_forces(W_R, W_p, W_v, state.m, pr)
+
     # ----- dynamics -----
 
-    def aba(self, state: BatchedState, W_R, W_p, W_v, f_ext, tau, pr=None):
+    def aba(
+        self,
+        state: BatchedState,
+        W_R,
+        W_p,
+        W_v,
+        f_ext,
+        tau,
+        pr=None,
+        return_aux: bool = False,
+    ):
         """Articulated-Body Algorithm, trailing-batch, unrolled tree.
 
         Per-env dynamics domain randomization: optional batch-shaped
         multipliers ``pr["gmul"]`` (gravity) and ``pr["Mmul"]`` (all link
         spatial inertias, i.e. uniform density scaling) — absent keys cost
-        nothing."""
+        nothing.
+
+        With ``return_aux`` a third return value carries the link-frame
+        accelerations ``a`` (gravity-offset convention) plus the
+        configuration-only articulated factorization (inverse joint
+        transforms, ``U``/``d``, base Cholesky factor ``L0``) that
+        :meth:`_minv_apply` reuses for O(n) M⁻¹-style solves — the
+        primitive of the relaxed-rigid contact PCG."""
         pr = pr if pr is not None else self.params()
         nL = self.n_links
         bshape = state.p.shape[1:]
@@ -730,8 +1107,10 @@ class BatchedEngine:
                     )
                 pA[lam] = pA[lam] + _mtv_u(X, pa, 6)
 
+        L0 = None
         if self.floating_base:
-            a0 = _chol6_solve(MA[0], -pA[0])
+            L0 = _chol6_factor(MA[0])
+            a0 = -_chol6_substitute(L0, pA[0])
         else:
             a0 = -_xv(R0_inv, p0_inv, g6)
 
@@ -752,7 +1131,11 @@ class BatchedEngine:
             W_a = _xv(R0, p0, a0) + g6
         else:
             W_a = jnp.zeros((6,) + bshape)
-        return W_a, (jnp.stack(sdd) if sdd else jnp.zeros((0,) + bshape))
+        sdd_out = jnp.stack(sdd) if sdd else jnp.zeros((0,) + bshape)
+        if return_aux:
+            aux = dict(a=a, U=U, d=d, inv_R=inv_R, inv_p=inv_p, L0=L0)
+            return W_a, sdd_out, aux
+        return W_a, sdd_out
 
     # ----- the step -----
 
@@ -802,11 +1185,20 @@ class BatchedEngine:
         W_R, W_p, W_v = self.fk(state, pr)
         if frozen_contacts is not None:
             f_links, md = frozen_contacts
-        elif self.n_points > 0:
-            f_links, md = self.soft_contact_forces(W_R, W_p, W_v, state.m, pr)
+            W_a, sdd = self.aba(state, W_R, W_p, W_v, f_links, tau, pr)
+        elif self.contact_model == "relaxed_rigid" and self.n_points > 0:
+            _, (W_a, sdd) = self.relaxed_rigid_contact_forces(
+                state, W_R, W_p, W_v, tau, pr, return_accelerations=True
+            )
+            md = jnp.zeros_like(state.m)
         else:
-            f_links, md = [None] * self.n_links, jnp.zeros_like(state.m)
-        W_a, sdd = self.aba(state, W_R, W_p, W_v, f_links, tau, pr)
+            if self.n_points > 0:
+                f_links, md = self.soft_contact_forces(
+                    W_R, W_p, W_v, state.m, pr
+                )
+            else:
+                f_links, md = [None] * self.n_links, jnp.zeros_like(state.m)
+            W_a, sdd = self.aba(state, W_R, W_p, W_v, f_links, tau, pr)
 
         omega = state.v[3:6]
         pd = state.v[0:3] + _cross(omega, state.p)
@@ -823,7 +1215,7 @@ class BatchedEngine:
         frozen = None
         if self.integrator == "rk4fast" and self.n_points > 0:
             W_R, W_p, W_v = self.fk(state, pr)
-            frozen = self.soft_contact_forces(W_R, W_p, W_v, state.m, pr)
+            frozen = self._contact_forces(state, W_R, W_p, W_v, tau, pr)
 
         f = lambda st: self.derivatives(st, tau, pr, frozen_contacts=frozen)
         axpy = lambda c, k: jax.tree.map(lambda y, d: y + c * d, state, k)
@@ -851,12 +1243,19 @@ class BatchedEngine:
             return self._rk4_step(state, tau, pr)
 
         W_R, W_p, W_v = self.fk(state, pr)
-        if self.n_points > 0:
-            f_links, md = self.soft_contact_forces(W_R, W_p, W_v, state.m, pr)
+        if self.contact_model == "relaxed_rigid" and self.n_points > 0:
+            _, (W_a, sdd) = self.relaxed_rigid_contact_forces(
+                state, W_R, W_p, W_v, tau, pr, return_accelerations=True
+            )
+            md = jnp.zeros_like(state.m)
         else:
-            f_links, md = [None] * self.n_links, jnp.zeros_like(state.m)
-
-        W_a, sdd = self.aba(state, W_R, W_p, W_v, f_links, tau, pr)
+            if self.n_points > 0:
+                f_links, md = self.soft_contact_forces(
+                    W_R, W_p, W_v, state.m, pr
+                )
+            else:
+                f_links, md = [None] * self.n_links, jnp.zeros_like(state.m)
+            W_a, sdd = self.aba(state, W_R, W_p, W_v, f_links, tau, pr)
 
         dt = self.dt
         v_new = state.v + dt * W_a

@@ -33,10 +33,20 @@ TILE_ENVS = TILE_SUB * TILE_LANE
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _step_kernel(engine: BatchedEngine, policy,
-                 s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
-                 S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
-                 s_out, sd_out, p_out, q_out, v_out, m_out):
+def engine_param_order(engine: BatchedEngine) -> tuple[str, ...]:
+    """Names of the engine's numeric model arrays, in kernel-input order
+    (relaxed-rigid engines carry the extra per-point inverse-mass blocks)."""
+    base = ("S", "M", "axis", "lamH", "sucH", "cpoint")
+    if engine.contact_model == "relaxed_rigid":
+        return base + ("rrMinv",)
+    return base
+
+
+def _step_kernel(engine: BatchedEngine, policy, *refs):
+    order = engine_param_order(engine)
+    (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref) = refs[:6]
+    pr = {k: refs[6 + i][:] for i, k in enumerate(order)}
+    (s_out, sd_out, p_out, q_out, v_out, m_out) = refs[6 + len(order):]
     state = BatchedState(
         s=s_ref[:],
         sd=sd_ref[:],
@@ -44,14 +54,6 @@ def _step_kernel(engine: BatchedEngine, policy,
         q=q_ref[:],
         v=v_ref[:],
         m=m_ref[:],
-    )
-    pr = dict(
-        S=S_ref[:],
-        M=M_ref[:],
-        axis=axis_ref[:],
-        lamH=lamH_ref[:],
-        sucH=sucH_ref[:],
-        cpoint=cpoint_ref[:],
     )
     tau = policy(state)
     set_mosaic_mode(True)
@@ -109,7 +111,7 @@ def build_pallas_step(engine: BatchedEngine, policy=None, tile_sub: int | None =
                 a.shape, (lambda i, _n=nd: (0,) * _n), memory_space=pltpu.VMEM
             )
 
-        param_order = ["S", "M", "axis", "lamH", "sucH", "cpoint"]
+        param_order = engine_param_order(engine)
         param_specs = [full_spec(pr[k]) for k in param_order]
         out_shapes = [
             jax.ShapeDtypeStruct(a.shape, a.dtype)
@@ -132,19 +134,16 @@ def build_pallas_step(engine: BatchedEngine, policy=None, tile_sub: int | None =
     return step
 
 
-def _step_tau_kernel(engine: BatchedEngine,
-                     s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref, tau_ref,
-                     S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref,
-                     s_out, sd_out, p_out, q_out, v_out, m_out):
+def _step_tau_kernel(engine: BatchedEngine, *refs):
     """Fused step with the torques as a kernel INPUT tile (no policy
     closure) — the forward primitive of the differentiable Pallas step."""
+    order = engine_param_order(engine)
+    (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref, tau_ref) = refs[:7]
+    pr = {k: refs[7 + i][:] for i, k in enumerate(order)}
+    (s_out, sd_out, p_out, q_out, v_out, m_out) = refs[7 + len(order):]
     state = BatchedState(
         s=s_ref[:], sd=sd_ref[:], p=p_ref[:], q=q_ref[:], v=v_ref[:],
         m=m_ref[:],
-    )
-    pr = dict(
-        S=S_ref[:], M=M_ref[:], axis=axis_ref[:],
-        lamH=lamH_ref[:], sucH=sucH_ref[:], cpoint=cpoint_ref[:],
     )
     set_mosaic_mode(True)
     try:
@@ -197,7 +196,7 @@ def build_pallas_step_tau(engine: BatchedEngine, tile_sub: int | None = None):
                 a.shape, (lambda i, _n=nd: (0,) * _n), memory_space=pltpu.VMEM
             )
 
-        param_order = ["S", "M", "axis", "lamH", "sucH", "cpoint"]
+        param_order = engine_param_order(engine)
         out_shapes = [
             jax.ShapeDtypeStruct(a.shape, a.dtype)
             for a in (state.s, state.sd, state.p, state.q, state.v, state.m)
@@ -236,7 +235,7 @@ def build_diff_pallas_step(engine: BatchedEngine, tile_sub: int | None = None):
     chunks of the rollout) in ``jax.checkpoint`` for long horizons.
     """
     fwd_step = build_pallas_step_tau(engine, tile_sub=tile_sub)
-    param_order = ("S", "M", "axis", "lamH", "sucH", "cpoint")
+    param_order = engine_param_order(engine)
 
     @jax.custom_vjp
     def _step(state: BatchedState, tau, pr) -> BatchedState:
@@ -286,7 +285,7 @@ def build_diff_pallas_rollout(engine: BatchedEngine, n_steps: int,
     whole rollout (hardware co-design with the Pallas forward).
     """
     per_step = build_diff_pallas_step(engine, tile_sub=tile_sub)
-    param_order = ("S", "M", "axis", "lamH", "sucH", "cpoint")
+    param_order = engine_param_order(engine)
 
     def _norm_pr(pr):
         base = engine.params()
@@ -400,18 +399,16 @@ def _rollout_kernel(engine: BatchedEngine, policy, n_steps: int,
     With ``domain``, five extra per-env multiplier tiles (Kmul, Dmul,
     mumul, gmul, Mmul) randomize the contact parameters, gravity, and link
     inertias at call time."""
-    (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
-     S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref) = refs[:12]
-    pr = dict(
-        S=S_ref[:], M=M_ref[:], axis=axis_ref[:],
-        lamH=lamH_ref[:], sucH=sucH_ref[:], cpoint=cpoint_ref[:],
-    )
-    k = 12
+    order = engine_param_order(engine)
+    (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref) = refs[:6]
+    pr = {kk: refs[6 + i][:] for i, kk in enumerate(order)}
+    k = 6 + len(order)
     if domain:
         (pr["Kmul"], pr["Dmul"], pr["mumul"], pr["gmul"], pr["Mmul"]) = (
-            refs[12][:], refs[13][:], refs[14][:], refs[15][:], refs[16][:]
+            refs[k][:], refs[k + 1][:], refs[k + 2][:], refs[k + 3][:],
+            refs[k + 4][:],
         )
-        k = 17
+        k += 5
     (s_out, sd_out, p_out, q_out, v_out, m_out) = refs[k:k + 6]
     state0 = (s_ref[:], sd_ref[:], p_ref[:], q_ref[:], v_ref[:], m_ref[:])
 
@@ -518,13 +515,10 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
     ``domain``, per-env Kmul/Dmul/mumul/gmul/Mmul tiles randomize the
     contact params, gravity, and link inertias.
     """
-    (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref,
-     S_ref, M_ref, axis_ref, lamH_ref, sucH_ref, cpoint_ref) = refs[:12]
-    k = 12
-    pr = dict(
-        S=S_ref[:], M=M_ref[:], axis=axis_ref[:],
-        lamH=lamH_ref[:], sucH=sucH_ref[:], cpoint=cpoint_ref[:],
-    )
+    order = engine_param_order(engine)
+    (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref) = refs[:6]
+    pr = {kk: refs[6 + i][:] for i, kk in enumerate(order)}
+    k = 6 + len(order)
     if domain:
         (pr["Kmul"], pr["Dmul"], pr["mumul"], pr["gmul"], pr["Mmul"]) = (
             refs[k][:], refs[k + 1][:], refs[k + 2][:], refs[k + 3][:],
@@ -743,7 +737,7 @@ def build_pallas_env_rollout(
                 a.shape, (lambda i, _n=nd: (0,) * _n), memory_space=pltpu.VMEM
             )
 
-        param_order = ["S", "M", "axis", "lamH", "sucH", "cpoint"]
+        param_order = engine_param_order(engine)
         extra_in, extra_specs = [], []
         tile_shape = state.p.shape[1:]
         if domain:
@@ -909,7 +903,7 @@ def build_pallas_rollout(
                 a.shape, (lambda i, _n=nd: (0,) * _n), memory_space=pltpu.VMEM
             )
 
-        param_order = ["S", "M", "axis", "lamH", "sucH", "cpoint"]
+        param_order = engine_param_order(engine)
         extra_in, extra_specs = [], []
         if domain:
             tile = state.p.shape[1:]

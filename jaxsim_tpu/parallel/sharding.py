@@ -45,8 +45,9 @@ def sharded_fused_rollout(
     policy=None,
     mesh: Mesh | None = None,
     axis_name: str = "env",
+    backend: str = "pallas",
 ):
-    """Multi-chip deployment path for the fused Pallas rollout.
+    """Multi-chip deployment path for the fused rollout.
 
     Pallas calls are opaque to the pjit partitioner, so the kernel is wrapped
     in ``shard_map``: each device runs the single-launch in-kernel rollout on
@@ -60,6 +61,10 @@ def sharded_fused_rollout(
         n_steps: Rollout horizon (inside one kernel launch per device).
         policy: Optional ``BatchedState -> torques`` Mosaic-expressible fn.
         mesh: Device mesh (default: all devices on one ``env`` axis).
+        backend: ``"pallas"`` (the fused kernel — production TPU path) or
+            ``"engine"`` (the numerically identical XLA engine rollout
+            under the SAME shard_map plumbing — runs on CPU meshes; used by
+            the driver's multichip dryrun and as a debug path).
 
     Returns:
         The final tiled ``BatchedState``, sharded like the input.
@@ -80,7 +85,14 @@ def sharded_fused_rollout(
     specs = jax.tree.map(
         lambda a: P(*([None] * (a.ndim - 2) + [axis_name, None])), state
     )
-    roll = ps.build_pallas_rollout(engine, n_steps, policy)
+    if backend == "pallas":
+        roll = ps.build_pallas_rollout(engine, n_steps, policy)
+    elif backend == "engine":
+        # The engine is layout-agnostic over trailing batch dims, so it
+        # accepts the tiled (B1, 128) state with the kernel's signature.
+        roll = lambda s: engine.rollout(s, n_steps, policy=policy)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
     # check_vma=False: the VMA checker cannot introspect pallas_call outputs.
     fn = shard_map(
         roll, mesh=mesh, in_specs=(specs,), out_specs=specs, check_vma=False

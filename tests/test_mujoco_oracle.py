@@ -2,8 +2,10 @@
 
 The reference validates against iDynTree (``tests/utils.py:135-509``); that
 package is unavailable here, so MuJoCo (which parses URDF natively) plays the
-same role for fixed-base models: mass matrix, bias forces, gravity torques,
-and forward dynamics must agree.
+same role: mass matrix, bias forces, gravity torques, and forward dynamics
+must agree — for fixed-base models AND floating-base models (freejoint qpos
+convention + velocity-representation mapping, reference
+``tests/test_api_model.py:278``).
 """
 
 import jax.numpy as jnp
@@ -125,3 +127,225 @@ def test_forward_dynamics_vs_mujoco(fixed_base_pair, prng_key):
         floating_base=False,
     )
     assert_allclose(sdd, qacc_mj, rtol=2e-3, atol=2e-3)
+
+
+# ----------------------------------------------------------------------
+# Floating-base oracle (freejoint qpos convention + representation map)
+# ----------------------------------------------------------------------
+
+
+def _quat_to_rot_np(q):
+    """wxyz quaternion → rotation matrix (NumPy)."""
+    w, x, y, z = q
+    n = w * w + x * x + y * y + z * z
+    s = 2.0 / n
+    wx, wy, wz = s * w * x, s * w * y, s * w * z
+    xx, xy, xz = s * x * x, s * x * y, s * x * z
+    yy, yz, zz = s * y * y, s * y * z, s * z * z
+    return np.array(
+        [
+            [1 - (yy + zz), xy - wz, xz + wy],
+            [xy + wz, 1 - (xx + zz), yz - wx],
+            [xz - wy, yz + wx, 1 - (xx + yy)],
+        ]
+    )
+
+
+def _skew_np(a):
+    return np.array(
+        [[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]]
+    )
+
+
+@pytest.fixture(scope="module", params=["box", "garpez", "humanoid"])
+def floating_pair(request):
+    """(JaxSimModel, MjModel, dof-address map) for a floating-base robot.
+
+    The MJCF comes from the framework's own UrdfToMjcf (freejoint injected
+    via MjSpec), dogfooding the interop path the reference exercises via
+    ``tests/test_api_model.py:278`` (iDynTree oracle)."""
+    import jaxsim_tpu.api as js
+    from jaxsim_tpu.mujoco.loaders import UrdfToMjcf
+
+    urdf = {
+        "box": models.build_box_urdf(),
+        "garpez": models.build_garpez_urdf(),
+        "humanoid": models.build_humanoid_urdf(),
+    }[request.param]
+    model = js.JaxSimModel.build_from_model_description(urdf)
+    assert model.floating_base()
+
+    mj_model = mujoco.MjModel.from_xml_string(UrdfToMjcf.convert(urdf))
+    mj_model.dof_damping[:] = 0.0
+    mj_model.dof_frictionloss[:] = 0.0
+
+    # Our joint i ↔ MuJoCo dof address (freejoint occupies dofs 0..5).
+    dof_addr = []
+    for name in model.joint_names():
+        jid = mujoco.mj_name2id(mj_model, mujoco.mjtObj.mjOBJ_JOINT, name)
+        assert jid >= 0, name
+        dof_addr.append(int(mj_model.jnt_dofadr[jid]))
+    free_jid = next(
+        i
+        for i in range(mj_model.njnt)
+        if mj_model.jnt_type[i] == mujoco.mjtJoint.mjJNT_FREE
+    )
+    assert int(mj_model.jnt_dofadr[free_jid]) == 0
+    return model, mj_model, np.array(dof_addr, dtype=int)
+
+
+def _random_floating_state(model, key):
+    import jax
+
+    import jaxsim_tpu.api as js
+
+    n = model.number_of_joints()
+    ks = jax.random.split(key, 6)
+    quat = jax.random.normal(ks[0], (4,))
+    quat = quat / jnp.linalg.norm(quat)
+    data = js.JaxSimModelData.build(
+        model,
+        base_position=jnp.array([0.3, -0.2, 5.0])
+        + 0.1 * jax.random.normal(ks[1], (3,)),
+        base_quaternion=quat,
+        joint_positions=0.3 * jax.random.normal(ks[2], (n,)),
+        base_linear_velocity=jax.random.normal(ks[3], (3,)),
+        base_angular_velocity=jax.random.normal(ks[4], (3,)),
+        joint_velocities=jax.random.normal(ks[5], (n,)),
+    )  # Mixed representation: base velocity = (ṗ_B, ω_W).
+    return data
+
+
+def _push_state_to_mujoco(model, data, mj_model, dof_addr):
+    """Map JaxSim state → MjData. MuJoCo freejoint convention: qpos =
+    [p, quat wxyz]; qvel = [ṗ_B (world), ω_B (BODY frame), ṡ]."""
+    mj_data = mujoco.MjData(mj_model)
+    p = np.asarray(data.base_position)
+    q = np.asarray(data.base_quaternion)
+    R = _quat_to_rot_np(q)
+    mj_data.qpos[0:3] = p
+    mj_data.qpos[3:7] = q
+    mj_data.qpos[7 + dof_addr - 6] = np.asarray(data.joint_positions)
+    v_mixed = np.asarray(data.base_linear_velocity)  # ṗ_B (Mixed)
+    omega_W = np.asarray(data.base_angular_velocity)  # ω in world (Mixed)
+    mj_data.qvel[0:3] = v_mixed
+    mj_data.qvel[3:6] = R.T @ omega_W
+    mj_data.qvel[dof_addr] = np.asarray(data.joint_velocities)
+    mujoco.mj_forward(mj_model, mj_data)
+    return mj_data
+
+
+def _mixed_to_mj_T(data, mj_model, dof_addr):
+    """T: ν_ours(Mixed) → qvel, and its time derivative Ṫ."""
+    n = len(dof_addr)
+    nv = mj_model.nv
+    R = _quat_to_rot_np(np.asarray(data.base_quaternion))
+    omega_W = np.asarray(data.base_angular_velocity)
+    T = np.zeros((nv, 6 + n))
+    T[0:3, 0:3] = np.eye(3)
+    T[3:6, 3:6] = R.T
+    for i, adr in enumerate(dof_addr):
+        T[adr, 6 + i] = 1.0
+    Td = np.zeros((nv, 6 + n))
+    Td[3:6, 3:6] = -R.T @ _skew_np(omega_W)
+    return T, Td
+
+
+def test_floating_mass_matrix_vs_mujoco(floating_pair, prng_key):
+    import jaxsim_tpu.api as js
+
+    model, mj_model, dof_addr = floating_pair
+    data = _random_floating_state(model, prng_key)
+    mj_data = _push_state_to_mujoco(model, data, mj_model, dof_addr)
+
+    M_full = np.zeros((mj_model.nv, mj_model.nv))
+    mujoco.mj_fullM(mj_model, mj_data, M_full)
+    T, _ = _mixed_to_mj_T(data, mj_model, dof_addr)
+
+    M_ours = np.asarray(js.model.free_floating_mass_matrix(model, data))
+    assert_allclose(M_ours, T.T @ M_full @ T, rtol=1e-4, atol=1e-4)
+
+
+def test_floating_bias_forces_vs_mujoco(floating_pair, prng_key):
+    import jaxsim_tpu.api as js
+
+    model, mj_model, dof_addr = floating_pair
+    data = _random_floating_state(model, prng_key)
+    mj_data = _push_state_to_mujoco(model, data, mj_model, dof_addr)
+
+    M_full = np.zeros((mj_model.nv, mj_model.nv))
+    mujoco.mj_fullM(mj_model, mj_data, M_full)
+    T, Td = _mixed_to_mj_T(data, mj_model, dof_addr)
+    nu = np.concatenate(
+        [
+            np.asarray(data.base_linear_velocity),
+            np.asarray(data.base_angular_velocity),
+            np.asarray(data.joint_velocities),
+        ]
+    )
+    # M_mj ν̇_mj + h_mj = f_mj with ν_mj = Tν ⇒ h_ours = Tᵀh_mj + TᵀM_mj Ṫ ν.
+    h_mapped = T.T @ np.array(mj_data.qfrc_bias) + T.T @ M_full @ Td @ nu
+
+    h_ours = np.asarray(js.model.free_floating_bias_forces(model, data))
+    scale = max(1.0, float(np.abs(h_mapped).max()))
+    assert_allclose(h_ours / scale, h_mapped / scale, rtol=2e-4, atol=2e-4)
+
+
+def test_floating_gravity_forces_vs_mujoco(floating_pair, prng_key):
+    import jax
+
+    import jaxsim_tpu.api as js
+
+    model, mj_model, dof_addr = floating_pair
+    data = _random_floating_state(model, prng_key)
+    # Zero velocities: bias reduces to gravity forces.
+    data = js.JaxSimModelData.build(
+        model,
+        base_position=data.base_position,
+        base_quaternion=data.base_quaternion,
+        joint_positions=data.joint_positions,
+    )
+    mj_data = _push_state_to_mujoco(model, data, mj_model, dof_addr)
+    T, _ = _mixed_to_mj_T(data, mj_model, dof_addr)
+    g_mapped = T.T @ np.array(mj_data.qfrc_bias)
+    g_ours = np.asarray(js.model.free_floating_gravity_forces(model, data))
+    scale = max(1.0, float(np.abs(g_mapped).max()))
+    assert_allclose(g_ours / scale, g_mapped / scale, rtol=2e-4, atol=2e-4)
+
+
+def test_floating_forward_dynamics_vs_mujoco(floating_pair, prng_key):
+    import jax
+
+    import jaxsim_tpu.api as js
+
+    model, mj_model, dof_addr = floating_pair
+    n = model.number_of_joints()
+    k1, k2 = jax.random.split(prng_key)
+    data = _random_floating_state(model, k1)
+    tau = np.asarray(jax.random.normal(k2, (n,)), dtype=float)
+
+    mj_data = _push_state_to_mujoco(model, data, mj_model, dof_addr)
+    mj_data.qfrc_applied[dof_addr] = tau
+    mujoco.mj_forward(mj_model, mj_data)
+    qacc = np.array(mj_data.qacc)
+
+    T, Td = _mixed_to_mj_T(data, mj_model, dof_addr)
+    nu = np.concatenate(
+        [
+            np.asarray(data.base_linear_velocity),
+            np.asarray(data.base_angular_velocity),
+            np.asarray(data.joint_velocities),
+        ]
+    )
+    # ν̇_mj = T ν̇ + Ṫ ν ⇒ ν̇_ours = T⁻¹ (qacc − Ṫ ν); T is orthogonal-ish
+    # block diag so invert blocks directly.
+    R = _quat_to_rot_np(np.asarray(data.base_quaternion))
+    rhs = qacc - Td @ nu
+    acc_mapped = np.concatenate(
+        [rhs[0:3], R @ rhs[3:6], rhs[dof_addr]]
+    )
+
+    vd, sdd = js.model.forward_dynamics_aba(model, data, joint_forces=tau)
+    acc_ours = np.concatenate([np.asarray(vd), np.asarray(sdd)])
+    scale = max(1.0, float(np.abs(acc_mapped).max()))
+    assert_allclose(acc_ours / scale, acc_mapped / scale, rtol=5e-4, atol=5e-4)

@@ -932,9 +932,20 @@ class BatchedEngine:
             ]
             return (stack_cj(x_n), stack_cj(r_n), stack_cj(p_n), rz_n), None
 
-        (xs, _, _, _), _ = jax.lax.scan(
-            cg_step, carry0, None, length=self._rr_n_iter
-        )
+        if _MOSAIC:
+            # Mosaic lowers only fori_loop-shaped loops (its scan rule
+            # rejects general carries); the kernel path is forward-only so
+            # losing scan's reverse-AD support costs nothing here.
+            xs, _, _, _ = jax.lax.fori_loop(
+                0,
+                self._rr_n_iter,
+                lambda k, c: cg_step(c, None)[0],
+                carry0,
+            )
+        else:
+            (xs, _, _, _), _ = jax.lax.scan(
+                cg_step, carry0, None, length=self._rr_n_iter
+            )
         x = unstack_cj(xs)
 
         # World contact wrenches per link.

@@ -312,3 +312,145 @@ def test_reduced_model_kinematics_match_full(humanoid_model):
 
     out = run(d_red)
     assert np.all(np.isfinite(np.asarray(out.base_position)))
+
+
+# ----------------------------------------------------------------------
+# Real-robot-class asset: ergocub_like.urdf (29 DoF, deep fixed chains)
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ergocub_model():
+    import pathlib
+
+    urdf = (
+        pathlib.Path(__file__).parent / "assets" / "ergocub_like.urdf"
+    ).read_text()
+    return js.JaxSimModel.build_from_model_description(urdf)
+
+
+# 23 locomotion DoF (torso + shoulders/elbows + legs), as in the
+# reference's ErgoCub-reduced fixture.
+LOCOMOTION_JOINTS = (
+    "torso_pitch", "torso_roll", "torso_yaw",
+    "l_shoulder_pitch", "l_shoulder_roll", "l_shoulder_yaw", "l_elbow",
+    "r_shoulder_pitch", "r_shoulder_roll", "r_shoulder_yaw", "r_elbow",
+    "l_hip_pitch", "l_hip_roll", "l_hip_yaw", "l_knee",
+    "l_ankle_pitch", "l_ankle_roll",
+    "r_hip_pitch", "r_hip_roll", "r_hip_yaw", "r_knee",
+    "r_ankle_pitch", "r_ankle_roll",
+)
+
+
+def test_ergocub_creation(ergocub_model):
+    """The vendored real-robot-class URDF parses with its full structure:
+    32 revolute DoF, massless fixed-attached links become frames
+    (sole/ft-sensor/camera chains of depth 2-3), limits and friction
+    populated from the URDF."""
+    model = ergocub_model
+    assert model.number_of_joints() == 32
+    assert model.floating_base()
+    frames = set(model.frame_names())
+    for f in (
+        "l_sole", "r_sole", "l_foot_ft_sensor", "r_foot_ft_sensor",
+        "imu_frame", "chest_imu", "head_cam_mount", "head_cam_optical",
+        "l_hand_palm", "r_hand_palm",
+    ):
+        assert f in frames, f
+    assert 25.0 < float(js.model.total_mass(model)) < 45.0
+
+    # Depth-2 fixed chain: the sole frame pose composes BOTH fixed joints
+    # (foot -> ft_sensor -> sole, each with a rotated origin).
+    data = js.JaxSimModelData.build(model, base_position=jnp.array([0.0, 0.0, 0.8]))
+    idx = js.frame.name_to_idx(model, frame_name="l_sole")
+    W_H_sole = js.frame.transform(model, data, frame_index=idx)
+    # Two successive yaw-pi rotations cancel: sole axes align with foot.
+    assert_allclose(W_H_sole[:3, :3] @ W_H_sole[:3, :3].T, jnp.eye(3), atol=1e-6)
+    # z offset: foot anchor -0.04 relative to ankle_1 then -0.03 - 0.01.
+    assert float(W_H_sole[2, 3]) < 0.8 - 0.05
+
+    # Joint limits arrived from the URDF (knee is one-sided).
+    lo, hi = js.joint.position_limit(
+        model, joint_index=js.joint.name_to_idx(model, joint_name="l_knee")
+    )
+    assert float(lo) == -2.0 and float(hi) == 0.0
+
+
+def test_ergocub_reduction_to_locomotion(ergocub_model):
+    """Reduce 32 -> 23 locomotion DoF (reference ErgoCub-reduced pattern):
+    mass preserved, wrist/neck links lumped, frames re-parented, FK of
+    common links identical with locked joints at their lock values."""
+    model = ergocub_model
+    reduced = js.model.reduce(
+        model,
+        considered_joints=LOCOMOTION_JOINTS,
+        locked_joint_positions={
+            j: 0.1 for j in model.joint_names() if j not in LOCOMOTION_JOINTS
+        },
+    )
+    assert reduced.number_of_joints() == 23
+    assert_allclose(
+        js.model.total_mass(reduced), js.model.total_mass(model), rtol=1e-5
+    )
+    # Frames survive reduction (possibly re-parented to lumped links).
+    for f in ("l_sole", "r_sole", "head_cam_optical"):
+        assert f in reduced.frame_names(), f
+
+    s23 = 0.15 * jnp.ones(23)
+    d_red = js.JaxSimModelData.build(
+        reduced, base_position=jnp.array([0.0, 0.0, 0.8]), joint_positions=s23
+    )
+    s_full = jnp.array(
+        [0.15 if j in LOCOMOTION_JOINTS else 0.1 for j in model.joint_names()]
+    )
+    d_full = js.JaxSimModelData.build(
+        model, base_position=jnp.array([0.0, 0.0, 0.8]), joint_positions=s_full
+    )
+    full_names = model.link_names()
+    for i, name in enumerate(reduced.link_names()):
+        j = full_names.index(name)
+        assert_allclose(
+            d_red._link_transforms[i], d_full._link_transforms[j],
+            atol=1e-5, err_msg=name,
+        )
+    # The sole frame agrees between full and reduced models too.
+    for fname in ("l_sole", "r_sole"):
+        Hr = js.frame.transform(
+            reduced, d_red,
+            frame_index=js.frame.name_to_idx(reduced, frame_name=fname),
+        )
+        Hf = js.frame.transform(
+            model, d_full,
+            frame_index=js.frame.name_to_idx(model, frame_name=fname),
+        )
+        assert_allclose(Hr, Hf, atol=1e-5, err_msg=fname)
+
+
+def test_ergocub_dynamics_consistency(ergocub_model):
+    """FD∘ID identity and a short stable soft-contact trajectory on the
+    real-robot-class model (mesh-free but realistically parameterized)."""
+    model = ergocub_model
+    data = js.data.random_model_data(model, key=jax.random.PRNGKey(11))
+    n = model.number_of_joints()
+    tau = 0.5 * jax.random.normal(jax.random.PRNGKey(12), (n,))
+
+    vd, sdd = js.model.forward_dynamics_aba(model, data, joint_forces=tau)
+    f_B, tau_id = js.model.inverse_dynamics(
+        model, data, base_acceleration=vd, joint_accelerations=sdd
+    )
+    assert_allclose(tau_id, tau, rtol=2e-3, atol=2e-3)
+
+    d0 = js.JaxSimModelData.build(model, base_position=jnp.array([0.0, 0.0, 0.76]))
+
+    @jax.jit
+    def run(d):
+        def body(d, _):
+            tau_pd = -80.0 * d.joint_positions - 1.0 * d.joint_velocities
+            return js.model.step(model, d, joint_force_references=tau_pd), None
+
+        out, _ = jax.lax.scan(body, d, None, length=100)
+        return out
+
+    out = run(d0)
+    assert np.all(np.isfinite(np.asarray(out.base_position)))
+    assert float(out.base_position[2]) > 0.3

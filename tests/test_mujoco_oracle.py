@@ -157,13 +157,18 @@ def _skew_np(a):
     )
 
 
-@pytest.fixture(scope="module", params=["box", "garpez", "humanoid"])
+@pytest.fixture(scope="module", params=["box", "garpez", "humanoid", "ergocub"])
 def floating_pair(request):
     """(JaxSimModel, MjModel, dof-address map) for a floating-base robot.
 
     The MJCF comes from the framework's own UrdfToMjcf (freejoint injected
     via MjSpec), dogfooding the interop path the reference exercises via
-    ``tests/test_api_model.py:278`` (iDynTree oracle)."""
+    ``tests/test_api_model.py:278`` (iDynTree oracle). "ergocub" is the
+    vendored real-robot-class asset (29 DoF, deep fixed-joint frame
+    chains, off-diagonal inertias — reference
+    ``tests/conftest.py:319-350``)."""
+    import pathlib
+
     import jaxsim_tpu.api as js
     from jaxsim_tpu.mujoco.loaders import UrdfToMjcf
 
@@ -171,6 +176,9 @@ def floating_pair(request):
         "box": models.build_box_urdf(),
         "garpez": models.build_garpez_urdf(),
         "humanoid": models.build_humanoid_urdf(),
+        "ergocub": (
+            pathlib.Path(__file__).parent / "assets" / "ergocub_like.urdf"
+        ).read_text(),
     }[request.param]
     model = js.JaxSimModel.build_from_model_description(urdf)
     assert model.floating_base()
@@ -178,6 +186,15 @@ def floating_pair(request):
     mj_model = mujoco.MjModel.from_xml_string(UrdfToMjcf.convert(urdf))
     mj_model.dof_damping[:] = 0.0
     mj_model.dof_frictionloss[:] = 0.0
+    # Pure rigid-body comparison: disable MuJoCo's constraint solver — at
+    # random joint configurations the humanoid's collision boxes
+    # self-collide and its joint limits fire, which perturbs qacc (via
+    # qfrc_constraint) but not M/h/g.
+    mj_model.opt.disableflags |= (
+        mujoco.mjtDisableBit.mjDSBL_CONTACT
+        | mujoco.mjtDisableBit.mjDSBL_CONSTRAINT
+        | mujoco.mjtDisableBit.mjDSBL_LIMIT
+    )
 
     # Our joint i ↔ MuJoCo dof address (freejoint occupies dofs 0..5).
     dof_addr = []
@@ -226,8 +243,8 @@ def _push_state_to_mujoco(model, data, mj_model, dof_addr):
     mj_data.qpos[0:3] = p
     mj_data.qpos[3:7] = q
     mj_data.qpos[7 + dof_addr - 6] = np.asarray(data.joint_positions)
-    v_mixed = np.asarray(data.base_linear_velocity)  # ṗ_B (Mixed)
-    omega_W = np.asarray(data.base_angular_velocity)  # ω in world (Mixed)
+    v6 = np.asarray(data.base_velocity)  # Mixed: (ṗ_B, ω_W), linear-first
+    v_mixed, omega_W = v6[0:3], v6[3:6]
     mj_data.qvel[0:3] = v_mixed
     mj_data.qvel[3:6] = R.T @ omega_W
     mj_data.qvel[dof_addr] = np.asarray(data.joint_velocities)
@@ -240,7 +257,7 @@ def _mixed_to_mj_T(data, mj_model, dof_addr):
     n = len(dof_addr)
     nv = mj_model.nv
     R = _quat_to_rot_np(np.asarray(data.base_quaternion))
-    omega_W = np.asarray(data.base_angular_velocity)
+    omega_W = np.asarray(data.base_velocity)[3:6]
     T = np.zeros((nv, 6 + n))
     T[0:3, 0:3] = np.eye(3)
     T[3:6, 3:6] = R.T
@@ -277,11 +294,7 @@ def test_floating_bias_forces_vs_mujoco(floating_pair, prng_key):
     mujoco.mj_fullM(mj_model, mj_data, M_full)
     T, Td = _mixed_to_mj_T(data, mj_model, dof_addr)
     nu = np.concatenate(
-        [
-            np.asarray(data.base_linear_velocity),
-            np.asarray(data.base_angular_velocity),
-            np.asarray(data.joint_velocities),
-        ]
+        [np.asarray(data.base_velocity), np.asarray(data.joint_velocities)]
     )
     # M_mj ν̇_mj + h_mj = f_mj with ν_mj = Tν ⇒ h_ours = Tᵀh_mj + TᵀM_mj Ṫ ν.
     h_mapped = T.T @ np.array(mj_data.qfrc_bias) + T.T @ M_full @ Td @ nu
@@ -331,11 +344,7 @@ def test_floating_forward_dynamics_vs_mujoco(floating_pair, prng_key):
 
     T, Td = _mixed_to_mj_T(data, mj_model, dof_addr)
     nu = np.concatenate(
-        [
-            np.asarray(data.base_linear_velocity),
-            np.asarray(data.base_angular_velocity),
-            np.asarray(data.joint_velocities),
-        ]
+        [np.asarray(data.base_velocity), np.asarray(data.joint_velocities)]
     )
     # ν̇_mj = T ν̇ + Ṫ ν ⇒ ν̇_ours = T⁻¹ (qacc − Ṫ ν); T is orthogonal-ish
     # block diag so invert blocks directly.

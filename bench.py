@@ -217,21 +217,21 @@ def main() -> None:
                 pass
 
         # --- gradient path (BASELINE config 4): policy grads through a
-        # 100-step rollout with the fused Pallas forward + XLA backward ---
-        try:
-            grad_steps = int(os.environ.get("BENCH_GRAD_STEPS", "100"))
-            grad_B = int(os.environ.get("BENCH_GRAD_BATCH", "8192"))
-            eng_g = BatchedEngine.build(model)
-            st_g = _ps.tile_state(
-                eng_g.init_state(grad_B, key=jax.random.PRNGKey(4))
-            )
-            rollout_g = _ps.build_diff_pallas_rollout(
-                eng_g, grad_steps, checkpoint_chunk=25, tile_sub=8
-            )
+        # rollout. Preferred: fused Pallas forward AND backward kernels
+        # (build_fused_diff_pallas_rollout); fallback: Pallas forward +
+        # XLA-engine backward with gradient checkpointing. ---
+        grad_steps = int(os.environ.get("BENCH_GRAD_STEPS", "100"))
+        grad_B = int(os.environ.get("BENCH_GRAD_BATCH", "8192"))
+        grad_backend = os.environ.get("BENCH_GRAD_BACKEND", "fused")
+        eng_g = BatchedEngine.build(model)
+        st_g = _ps.tile_state(
+            eng_g.init_state(grad_B, key=jax.random.PRNGKey(4))
+        )
 
-            def policy_fn(s, gains):
-                return -gains[0] * s.s - gains[1] * s.sd
+        def policy_fn(s, gains):
+            return -gains[0] * s.s - gains[1] * s.sd
 
+        def measure_grad(rollout_g):
             @jax.jit
             def loss_grad(gains):
                 out_ = rollout_g(st_g, policy_fn, gains)
@@ -245,14 +245,36 @@ def main() -> None:
                 g = jax.grad(loss_grad)(jnp.array([60.0, 0.5]))
                 jax.block_until_ready(g)
                 ts.append(time.perf_counter() - t0)
-            extra_latency["grad_env_steps_per_sec"] = round(
-                grad_B * grad_steps / sorted(ts)[1], 1
-            )
-            extra_latency["grad_finite"] = bool(
-                jnp.all(jnp.isfinite(g)).item()
-            )
-        except Exception as e:  # noqa: BLE001
-            extra_latency["grad_error"] = f"{type(e).__name__}"
+            return grad_B * grad_steps / sorted(ts)[1], g
+
+        if grad_backend == "fused":
+            try:
+                grad_tile = int(os.environ.get("BENCH_GRAD_TILE", "8"))
+                v, g = measure_grad(
+                    _ps.build_fused_diff_pallas_rollout(
+                        eng_g, grad_steps, tile_sub=grad_tile
+                    )
+                )
+                extra_latency["grad_env_steps_per_sec_fused_bwd"] = round(v, 1)
+                extra_latency["grad_finite"] = bool(
+                    jnp.all(jnp.isfinite(g)).item()
+                )
+            except Exception as e:  # noqa: BLE001
+                extra_latency["grad_fused_error"] = f"{type(e).__name__}"
+                grad_backend = "xla"
+        if grad_backend == "xla":
+            try:
+                v, g = measure_grad(
+                    _ps.build_diff_pallas_rollout(
+                        eng_g, grad_steps, checkpoint_chunk=25, tile_sub=8
+                    )
+                )
+                extra_latency["grad_env_steps_per_sec"] = round(v, 1)
+                extra_latency["grad_finite"] = bool(
+                    jnp.all(jnp.isfinite(g)).item()
+                )
+            except Exception as e:  # noqa: BLE001
+                extra_latency["grad_error"] = f"{type(e).__name__}"
 
     if os.environ.get("BENCH_FULL", "0") == "1":
         # BASELINE asks for B=1/1024 latencies too (generic step path).

@@ -218,6 +218,146 @@ def build_pallas_step_tau(engine: BatchedEngine, tile_sub: int | None = None):
     return step
 
 
+def _step_vjp_kernel(engine: BatchedEngine, *refs):
+    """Fused BACKWARD kernel: given (state, tau, cotangent-of-output-state),
+    computes the cotangents w.r.t. (state, tau) by tracing ``jax.vjp`` of
+    the engine step INSIDE the kernel — the transposed graph is still
+    elementwise over the batch tiles (no gathers, no cross-env reductions),
+    so Mosaic lowers it like the forward. One launch re-runs the forward
+    and sweeps the backward entirely in VMEM (SURVEY §7 "hand-written
+    VJPs" — here derived mechanically but executed fused)."""
+    order = engine_param_order(engine)
+    (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref, tau_ref) = refs[:7]
+    ct_refs = refs[7:13]
+    pr = {k: refs[13 + i][:] for i, k in enumerate(order)}
+    outs = refs[13 + len(order):]
+    state = BatchedState(
+        s=s_ref[:], sd=sd_ref[:], p=p_ref[:], q=q_ref[:], v=v_ref[:],
+        m=m_ref[:],
+    )
+    ct_out = BatchedState(*[r[:] for r in ct_refs])
+    set_mosaic_mode(True)
+    try:
+        _, vjp_fn = jax.vjp(
+            lambda st, t: engine.step(st, t, pr), state, tau_ref[:]
+        )
+        ct_state, ct_tau = vjp_fn(ct_out)
+    finally:
+        set_mosaic_mode(False)
+    for r, val in zip(
+        outs,
+        (ct_state.s, ct_state.sd, ct_state.p, ct_state.q, ct_state.v,
+         ct_state.m, ct_tau),
+    ):
+        r[:] = val
+
+
+def build_pallas_step_vjp(engine: BatchedEngine, tile_sub: int | None = None):
+    """Return a jittable ``(state, tau, ct_state) -> (ct_state_in, ct_tau)``
+    running the fused backward kernel (shapes as in
+    :func:`build_pallas_step_tau`)."""
+    n, nC = engine.n_joints, engine.n_points
+    tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
+    kernel = functools.partial(_step_vjp_kernel, engine)
+
+    def bwd(state: BatchedState, tau, ct_out: BatchedState, pr=None):
+        B1 = state.p.shape[-2]
+        assert B1 % tile_sub == 0
+        grid = (B1 // tile_sub,)
+
+        def spec(lead):
+            nlead = len(lead)
+            return pl.BlockSpec(
+                lead + (tile_sub, TILE_LANE),
+                (lambda i, _n=nlead: (0,) * _n + (i, 0)),
+                memory_space=pltpu.VMEM,
+            )
+
+        state_specs = [
+            spec((n,)), spec((n,)), spec((3,)), spec((4,)), spec((6,)),
+            spec((nC, 3)),
+        ]
+        pr = pr if pr is not None else engine.params()
+
+        def full_spec(a):
+            nd = a.ndim
+            return pl.BlockSpec(
+                a.shape, (lambda i, _n=nd: (0,) * _n), memory_space=pltpu.VMEM
+            )
+
+        param_order = engine_param_order(engine)
+        out_shapes = [
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (state.s, state.sd, state.p, state.q, state.v, state.m)
+        ] + [jax.ShapeDtypeStruct(tau.shape, tau.dtype)]
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=state_specs + [spec((n,))] + state_specs
+            + [full_spec(pr[k]) for k in param_order],
+            out_specs=tuple(state_specs) + (spec((n,)),),
+            out_shape=tuple(out_shapes),
+            compiler_params=_COMPILER_PARAMS,
+        )(
+            state.s, state.sd, state.p, state.q, state.v, state.m,
+            jnp.asarray(tau, dtype=jnp.float32),
+            ct_out.s, ct_out.sd, ct_out.p, ct_out.q, ct_out.v, ct_out.m,
+            *[pr[k] for k in param_order],
+        )
+        return BatchedState(*out[:6]), out[6]
+
+    return bwd
+
+
+def build_fused_diff_pallas_step(
+    engine: BatchedEngine, tile_sub: int | None = None
+):
+    """Differentiable fused step whose FORWARD and BACKWARD are both Pallas
+    kernels: ``(state, tau) -> state`` with gradients w.r.t. state and tau
+    computed by :func:`build_pallas_step_vjp` (one fused launch each way —
+    no XLA engine replay, ~2 orders of magnitude faster reverse-mode than
+    the XLA fallback). Model parameters are compile-time constants here;
+    for parameter (co-design) gradients use :func:`build_diff_pallas_step`,
+    whose XLA backward also produces ``pr`` cotangents."""
+    fwd_step = build_pallas_step_tau(engine, tile_sub=tile_sub)
+    bwd_step = build_pallas_step_vjp(engine, tile_sub=tile_sub)
+
+    @jax.custom_vjp
+    def step(state: BatchedState, tau) -> BatchedState:
+        return fwd_step(state, tau)
+
+    def step_fwd(state, tau):
+        return fwd_step(state, tau), (state, tau)
+
+    def step_bwd(residual, cotangent):
+        state, tau = residual
+        return bwd_step(state, tau, cotangent)
+
+    step.defvjp(step_fwd, step_bwd)
+    return step
+
+
+def build_fused_diff_pallas_rollout(
+    engine: BatchedEngine, n_steps: int, tile_sub: int | None = None
+):
+    """Differentiable rollout with Pallas forward AND backward per step:
+    ``(state, policy_fn, *policy_args) -> state``. The scan saves one state
+    + torque tile per step (B=8192, 100 steps ≈ 0.7 GB HBM for the
+    humanoid) — no gradient checkpointing needed at these horizons, and
+    reverse-mode runs at kernel speed instead of XLA-engine speed
+    (BASELINE config 4)."""
+    per_step = build_fused_diff_pallas_step(engine, tile_sub=tile_sub)
+
+    def rollout(state: BatchedState, policy_fn, *policy_args) -> BatchedState:
+        def body(st, _):
+            return per_step(st, policy_fn(st, *policy_args)), None
+
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+
+    return rollout
+
+
 def build_diff_pallas_step(engine: BatchedEngine, tile_sub: int | None = None):
     """Differentiable fused step: ``(state, tau) -> state`` whose FORWARD is
     the Pallas kernel and whose BACKWARD is the VJP of the numerically

@@ -10,13 +10,17 @@ from __future__ import annotations
 
 import os
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ["JAX_PLATFORMS"] = "cpu"
+_USE_TPU = os.environ.get("JAXSIM_TEST_TPU", "0") == "1"
+
+if not _USE_TPU:
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("MUJOCO_GL", "egl")  # headless offline rendering
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-dominated (many jitted
 # physics graphs); repeat runs hit the cache and finish in minutes. The dir
@@ -26,7 +30,11 @@ jax.config.update("jax_platforms", "cpu")
 # can SIGILL mid-suite.
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+    os.path.join(
+        os.path.dirname(__file__),
+        "..",
+        ".jax_cache_tpu" if _USE_TPU else ".jax_cache_cpu",
+    ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -377,6 +377,94 @@ def test_diff_pallas_step_gradients_match_engine():
     assert float(jnp.abs(g_tau).max()) > 0.0
 
 
+@pytest.mark.tpu
+def test_fused_diff_pallas_step_backward_kernel_tpu():
+    """build_fused_diff_pallas_step: BOTH forward and backward are Pallas
+    kernels (vjp traced inside the kernel body); gradients w.r.t. state and
+    torques match jax.grad through the plain engine step.
+
+    TPU-only: XLA:CPU takes tens of minutes to compile the interpret-mode
+    backward kernel even for garpez (the vjp graph is ~3x the forward);
+    Mosaic compiles it in ~40 s. Grad tolerances follow policy tier B
+    widened for MXU-vs-XLA f32 accumulation-order differences."""
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires TPU (interpret-mode compile is pathological)")
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024, key=jax.random.PRNGKey(12)))
+    tau = 0.3 * jax.random.normal(
+        jax.random.PRNGKey(13), (eng.n_joints,) + st.p.shape[1:]
+    )
+    step = ps.build_fused_diff_pallas_step(eng)
+
+    def loss_pallas(st_, tau_):
+        new = step(st_, tau_)
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    def loss_engine(st_, tau_):
+        new = eng.step(st_, tau_)
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    g_st, g_tau = jax.jit(jax.grad(loss_pallas, argnums=(0, 1)))(st, tau)
+    rg_st, rg_tau = jax.jit(jax.grad(loss_engine, argnums=(0, 1)))(st, tau)
+
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        assert_allclose(
+            getattr(g_st, f), getattr(rg_st, f), rtol=1e-3, atol=1e-5,
+            err_msg=f"grad {f}",
+        )
+    assert_allclose(g_tau, rg_tau, rtol=1e-3, atol=1e-5, err_msg="grad tau")
+    assert float(jnp.abs(g_tau).max()) > 0.0
+
+
+@pytest.mark.tpu
+def test_fused_diff_pallas_rollout_policy_gradient_tpu():
+    """build_fused_diff_pallas_rollout: policy-parameter gradients through a
+    multi-step rollout where forward AND backward run as Pallas kernels
+    match the all-XLA engine rollout (TPU-only, see step test above)."""
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires TPU (interpret-mode compile is pathological)")
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024, key=jax.random.PRNGKey(14)))
+    import dataclasses
+
+    st = dataclasses.replace(
+        st,
+        s=0.2 * jax.random.normal(jax.random.PRNGKey(15), st.s.shape),
+        sd=0.1 * jax.random.normal(jax.random.PRNGKey(16), st.sd.shape),
+    )
+    gains0 = jnp.array([5.0, 0.1])
+
+    def policy(st_, gains):
+        return -gains[0] * st_.s - gains[1] * st_.sd
+
+    def loss_engine(gains):
+        def body(s, _):
+            return eng.step(s, policy(s, gains)), None
+
+        out, _ = jax.lax.scan(body, st, None, length=3)
+        return jnp.mean(out.sd**2)
+
+    ref_loss, ref_grad = jax.value_and_grad(loss_engine)(gains0)
+
+    rollout = ps.build_fused_diff_pallas_rollout(eng, 3)
+
+    def loss_pallas(gains):
+        return jnp.mean(rollout(st, policy, gains).sd**2)
+
+    val, grad = jax.jit(jax.value_and_grad(loss_pallas))(gains0)
+    assert_allclose(val, ref_loss, rtol=1e-3, atol=1e-6)
+    assert_allclose(grad, ref_grad, rtol=1e-3, atol=1e-6)
+    assert float(jnp.abs(grad).max()) > 0.0
+
+
 def test_diff_pallas_rollout_policy_gradient():
     """build_diff_pallas_rollout: gradients flow to XLA-side policy
     parameters through the fused Pallas steps (with and without

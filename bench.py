@@ -18,8 +18,17 @@ import os
 import sys
 import time
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+)
+
 import jax
 import jax.numpy as jnp
+
+# Mosaic kernel compiles dominate bench startup (minutes for the humanoid
+# backward kernel); the persistent cache makes repeat runs start in seconds.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main() -> None:

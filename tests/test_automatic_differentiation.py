@@ -143,6 +143,7 @@ def test_ad_soft_contacts():
     check_grads(f, (pos, vel, m), atol=0.2, rtol=0.2)
 
 
+@pytest.mark.slow
 def test_ad_full_step_torques(humanoid_model):
     """Gradient of a short rollout w.r.t. torques, vs finite differences."""
     model = humanoid_model
@@ -198,6 +199,7 @@ def test_ad_hw_parameters(humanoid_model):
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_ad_batched_engine():
     """Reverse AD through the batch-minor engine rollout (small model —
     the humanoid's unrolled reverse graph takes minutes to compile)."""

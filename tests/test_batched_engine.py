@@ -307,6 +307,7 @@ def test_domain_randomization_engine():
     assert not np.allclose(np.asarray(out.p[2, 0]), np.asarray(out.p[2, 1]))
 
 
+@pytest.mark.slow
 def test_domain_randomization_pallas_interpret():
     """The fused rollout with per-env multiplier tiles matches the engine."""
     from jax.experimental.pallas import tpu as pltpu
@@ -335,6 +336,7 @@ def test_domain_randomization_pallas_interpret():
         run(ps.tile_state(st), Kmul=Kmul)  # untiled (B,) shape rejected
 
 
+@pytest.mark.slow
 def test_diff_pallas_step_gradients_match_engine():
     """build_diff_pallas_step: forward (interpret-mode Pallas) matches the
     engine step, and jax.grad through it w.r.t. state and torques matches
@@ -510,6 +512,7 @@ def test_fused_diff_pallas_step_params_grad_tpu():
     assert nonzero >= 3  # inertias, contact points, joint placements all live
 
 
+@pytest.mark.slow
 def test_diff_pallas_rollout_policy_gradient():
     """build_diff_pallas_rollout: gradients flow to XLA-side policy
     parameters through the fused Pallas steps (with and without
@@ -689,7 +692,10 @@ def test_engine_relaxed_rigid_box_equivalence(prng_key):
     )
 
 
-@pytest.mark.parametrize("integrator_name", ["sie", "rk4"])
+@pytest.mark.parametrize(
+    "integrator_name",
+    ["sie", pytest.param("rk4", marks=pytest.mark.slow)],
+)
 def test_engine_relaxed_rigid_garpez_equivalence(integrator_name, prng_key):
     """Articulated floating-base model on relaxed-rigid contacts (SIE and
     RK4): engine trajectories match the generic path (tier C/T)."""
@@ -748,6 +754,7 @@ def test_engine_relaxed_rigid_settles():
     assert np.all(np.abs(np.asarray(out.v)) < 0.05)
 
 
+@pytest.mark.slow
 def test_pallas_relaxed_rigid_interpret():
     """The fused Pallas step kernel runs the relaxed-rigid PCG solve
     in-kernel (interpret mode) and matches the XLA engine step. (garpez —
@@ -772,6 +779,7 @@ def test_pallas_relaxed_rigid_interpret():
         )
 
 
+@pytest.mark.slow
 def test_pallas_step_rk4_interpret():
     """The fused Pallas step kernel dispatches to the engine's RK4 path
     in-kernel (interpret mode) and matches the XLA engine step."""
@@ -795,6 +803,7 @@ def test_pallas_step_rk4_interpret():
         )
 
 
+@pytest.mark.slow
 def test_dynamics_domain_randomization():
     """Per-env gmul/Mmul multipliers: gmul scales gravity (free-fall
     velocity), and Mmul=c is exactly equivalent to scaling every link
@@ -834,6 +843,7 @@ def test_dynamics_domain_randomization():
     assert float(jnp.abs(out_mul.sd - out_base.sd).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_dynamics_domain_randomization_pallas_interpret():
     """gmul/Mmul thread through the fused rollout kernel (interpret mode)
     and match the XLA engine with the same multipliers."""
@@ -869,6 +879,7 @@ def test_dynamics_domain_randomization_pallas_interpret():
     assert float(jnp.abs(ref.sd - base.sd).max()) > 1e-6
 
 
+@pytest.mark.slow
 def test_mlp_policy_env_rollout_interpret():
     """build_pallas_env_rollout(mlp_policy=H): in-kernel tanh-MLP torques
     match an XLA reference rollout with the same weights (interpret mode),
@@ -944,6 +955,7 @@ def test_mlp_policy_env_rollout_interpret():
     )
 
 
+@pytest.mark.slow
 def test_diff_pallas_rollout_hw_param_gradient():
     """Gradients w.r.t. the model parameters (link spatial inertias,
     contact points) flow through the differentiable Pallas rollout and

@@ -47,6 +47,7 @@ def test_sharded_vmap_rollout(model):
     assert len(out.base_position.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_batched_engine(model):
     eng = BatchedEngine.build(model)
     B = 256
@@ -63,6 +64,7 @@ def test_sharded_batched_engine(model):
     assert len(out.p.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(model):
     """Sharded and unsharded rollouts produce identical trajectories."""
     eng = BatchedEngine.build(model)
@@ -83,6 +85,7 @@ def test_sharded_matches_single_device(model):
     )
 
 
+@pytest.mark.slow
 def test_rk4_relaxed_rigid_sharded(model):
     """BASELINE config 5: relaxed-rigid contacts + RK4, heterogeneous env
     batch sharded over the mesh."""
@@ -128,6 +131,7 @@ def test_rk4_relaxed_rigid_sharded(model):
     assert len(out.base_position.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_sharded_fused_rollout_engine_backend():
     """The shard_map wrapper partitions the tiled state over devices and
     matches the unsharded rollout — through the PUBLIC ``backend="engine"``

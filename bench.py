@@ -229,6 +229,42 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 pass
 
+        # --- rigid (QP) contacts on the fused path: matrix-free APGD
+        # cone solve + inelastic impact projection in-kernel. ---
+        try:
+            from jaxsim_tpu.ops.contacts.rigid import RigidContacts
+
+            model_rq = js.JaxSimModel.build_from_model_description(
+                models.build_humanoid_urdf(),
+                contact_model=RigidContacts(),
+                integrator=integrator,
+            )
+            eng_rq = BatchedEngine.build(model_rq)
+            st_rq = _ps.tile_state(
+                eng_rq.init_state(batch_size, key=jax.random.PRNGKey(5))
+            )
+            rq_steps = int(os.environ.get("BENCH_RIGID_STEPS", "100"))
+            rq_tile = int(os.environ.get("BENCH_RIGID_TILE", "16"))
+            run_rq = jax.jit(
+                _ps.build_pallas_rollout(eng_rq, rq_steps, tile_sub=rq_tile)
+            )
+            o = run_rq(st_rq)
+            jax.block_until_ready(o.p)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                o = run_rq(o)
+                jax.block_until_ready(o.p)
+                ts.append(time.perf_counter() - t0)
+            extra_latency["env_steps_per_sec_rigid_fused"] = round(
+                batch_size * rq_steps / sorted(ts)[1], 1
+            )
+            extra_latency["rigid_finite"] = bool(
+                jnp.all(jnp.isfinite(o.p)).item()
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't fail the bench
+            extra_latency["rigid_error"] = f"{type(e).__name__}"
+
         # --- gradient path (BASELINE config 4): policy grads through a
         # rollout. Preferred: fused Pallas forward AND backward kernels
         # (build_fused_diff_pallas_rollout); fallback: Pallas forward +

@@ -55,6 +55,16 @@ class MujocoModelHelper:
             for i in range(self.model.njnt)
         )
 
+    def is_fixed_base(self) -> bool:
+        return not self.is_floating_base()
+
+    def base_link(self) -> str:
+        """Name of the first non-world body (reference
+        ``mujoco/model.py:174-179``)."""
+        import mujoco
+
+        return mujoco.mj_id2name(self.model, mujoco.mjtObj.mjOBJ_BODY, 1)
+
     # ----- base state -----
 
     def set_base_position(self, position: npt.NDArray) -> None:
@@ -70,8 +80,17 @@ class MujocoModelHelper:
     def base_position(self) -> npt.NDArray:
         return np.array(self.data.qpos[0:3])
 
-    def base_orientation(self) -> npt.NDArray:
-        return np.array(self.data.qpos[3:7])
+    def base_orientation(self, dcm: bool = False) -> npt.NDArray:
+        """Base orientation as wxyz quaternion (default) or rotation
+        matrix (``dcm=True``), reference ``mujoco/model.py:190-201``."""
+        wxyz = np.array(self.data.qpos[3:7])
+        if not dcm:
+            return wxyz
+        import mujoco
+
+        R = np.zeros(9)
+        mujoco.mju_quat2Mat(R, wxyz)
+        return R.reshape(3, 3)
 
     # ----- joints -----
 
@@ -198,6 +217,75 @@ class MujocoModelHelper:
 
     def number_of_dofs(self) -> int:
         return int(self.model.nv)
+
+    def joint_dofs(self, joint_name: str) -> int:
+        """DoF count of a joint (6 free, 3 ball, 1 hinge/slide) —
+        reference ``mujoco/model.py:274-280``."""
+        import mujoco
+
+        jid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_JOINT, joint_name)
+        if jid < 0:
+            raise ValueError(f"Joint '{joint_name}' not found")
+        return {
+            mujoco.mjtJoint.mjJNT_FREE: 6,
+            mujoco.mjtJoint.mjJNT_BALL: 3,
+        }.get(self.model.jnt_type[jid], 1)
+
+    # ----- bodies / geometries (reference ``mujoco/model.py:330-404``) -----
+
+    def number_of_bodies(self) -> int:
+        return int(self.model.nbody)
+
+    def _body_id(self, body_name: str) -> int:
+        import mujoco
+
+        bid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_BODY, body_name)
+        if bid < 0:
+            raise ValueError(f"Body '{body_name}' not found")
+        return bid
+
+    def body_position(self, body_name: str) -> npt.NDArray:
+        return np.array(self.data.xpos[self._body_id(body_name)])
+
+    def body_orientation(self, body_name: str, dcm: bool = False) -> npt.NDArray:
+        bid = self._body_id(body_name)
+        if dcm:
+            return np.array(self.data.xmat[bid]).reshape(3, 3)
+        return np.array(self.data.xquat[bid])
+
+    def number_of_geometries(self) -> int:
+        return int(self.model.ngeom)
+
+    def geometry_names(self) -> list[str]:
+        import mujoco
+
+        return [
+            mujoco.mj_id2name(self.model, mujoco.mjtObj.mjOBJ_GEOM, i)
+            for i in range(self.model.ngeom)
+        ]
+
+    def _geom_id(self, geometry_name: str) -> int:
+        import mujoco
+
+        gid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_GEOM, geometry_name)
+        if gid < 0:
+            raise ValueError(f"Geometry '{geometry_name}' not found")
+        return gid
+
+    def geometry_position(self, geometry_name: str) -> npt.NDArray:
+        return np.array(self.data.geom_xpos[self._geom_id(geometry_name)])
+
+    def geometry_orientation(
+        self, geometry_name: str, dcm: bool = False
+    ) -> npt.NDArray:
+        R = np.array(self.data.geom_xmat[self._geom_id(geometry_name)]).reshape(3, 3)
+        if dcm:
+            return R
+        import mujoco
+
+        q = np.zeros(4)
+        mujoco.mju_mat2Quat(q, R.flatten())
+        return q
 
     def total_mass(self) -> float:
         return float(np.sum(self.model.body_mass))

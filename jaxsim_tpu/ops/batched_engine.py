@@ -321,6 +321,10 @@ class BatchedEngine:
     # Fixed PCG iteration count for the contact solve (0 = auto:
     # min(3·nC, 32); tests use 3·nC + 4 for exact-solve agreement).
     rr_iterations: int = 0
+    # Rigid (QP) contact parameters: Delassus regularization and fixed
+    # APGD iteration count (0 = auto: min(2·nC + 16, 48)).
+    rigid_reg: float = 1e-6
+    rigid_iterations: int = 0
 
     # Numeric model arrays, kept as nested tuples (hashable, numpy-convertible).
     _S: tuple = dataclasses.field(repr=False, default=())
@@ -334,13 +338,14 @@ class BatchedEngine:
     @staticmethod
     def build(model) -> "BatchedEngine":
         from jaxsim_tpu.ops.contacts.relaxed_rigid import RelaxedRigidContacts
+        from jaxsim_tpu.ops.contacts.rigid import RigidContacts
         from jaxsim_tpu.ops.contacts.soft import SoftContacts
         from jaxsim_tpu.terrain import FlatTerrain
 
         # The fused hot path implements flat/inclined-plane terrain and
-        # soft or relaxed-rigid contacts with all three fixed-step
-        # integrators (SIE / RK4 / RK4-fast); other configurations use the
-        # generic js.model.step path.
+        # all three contact models (soft / rigid QP / relaxed-rigid) with
+        # all three fixed-step integrators (SIE / RK4 / RK4-fast); other
+        # configurations use the generic js.model.step path.
         if not isinstance(model.terrain, FlatTerrain):
             raise ValueError(
                 "BatchedEngine supports flat/plane terrain; use the generic"
@@ -351,7 +356,12 @@ class BatchedEngine:
         )
         t_offset = t_normal[2] * float(getattr(model.terrain, "_height", 0.0))
         rr = {}
-        if isinstance(model.contact_model, RelaxedRigidContacts):
+        if isinstance(model.contact_model, RigidContacts):
+            rr = dict(
+                contact_model="rigid",
+                rigid_reg=float(model.contact_model.regularization_delassus),
+            )
+        elif isinstance(model.contact_model, RelaxedRigidContacts):
             p = model.contact_params
             xi_max = float(p.d_max)
             Omega = float(p.time_constant)
@@ -376,8 +386,9 @@ class BatchedEngine:
             )
         elif not isinstance(model.contact_model, SoftContacts):
             raise ValueError(
-                "BatchedEngine implements soft and relaxed-rigid contacts;"
-                " use the generic js.model.step path for rigid (QP) models"
+                "BatchedEngine implements soft, rigid (QP), and"
+                " relaxed-rigid contacts; use the generic js.model.step"
+                " path for custom contact models"
             )
         from jaxsim_tpu.api.model import IntegratorType
 
@@ -390,7 +401,7 @@ class BatchedEngine:
         cp = kdp.contact_parameters
         idx = cp.indices_of_enabled_collidable_points
         pars = model.contact_params
-        if rr:
+        if rr.get("contact_model") == "relaxed_rigid":
             # Per-point inverse 3×3 linear-mass blocks of the parent links
             # (static — used by the diagonal regularizer and the Jacobi
             # preconditioner of the contact PCG).
@@ -413,8 +424,14 @@ class BatchedEngine:
             lam=tuple(kdp.parent_array_static),
             joint_types=tuple(kdp.joint_model.joint_types),
             contact_parent=tuple(int(cp.body[i]) for i in idx),
-            K=float(getattr(pars, "K", 0.0)) if not rr else 0.0,
-            D=float(getattr(pars, "D", 0.0)) if not rr else 0.0,
+            # K/D: Hunt/Crossley terrain stiffness (soft), Baumgarte
+            # stabilization gains (rigid), unused for relaxed-rigid.
+            K=float(getattr(pars, "K", 0.0))
+            if rr.get("contact_model") != "relaxed_rigid"
+            else 0.0,
+            D=float(getattr(pars, "D", 0.0))
+            if rr.get("contact_model") != "relaxed_rigid"
+            else 0.0,
             mu=float(pars.mu),
             hc_p=float(getattr(pars, "p", 0.0)),
             hc_q=float(getattr(pars, "q", 0.0)),
@@ -976,12 +993,341 @@ class BatchedEngine:
             W_a = jnp.zeros((6,) + bshape)
         return f_links, (W_a, sdd_free + sdd_cont)
 
+    # ----- rigid contacts (acceleration-level QP, matrix-free APGD) -----
+
+    @property
+    def _rigid_n_iter(self) -> int:
+        if self.rigid_iterations:
+            return int(self.rigid_iterations)
+        return min(2 * self.n_points + 16, 48) if self.n_points else 0
+
+    def _point_geometry(self, W_R, W_p, W_v, pr, bshape):
+        """Per-point world position / velocity / penetration / activity and
+        the scatter/gather payloads shared by every matrix-free Delassus
+        application (same geometry as the relaxed-rigid path)."""
+        ax, ay, az = self.terrain_normal
+        off = self.terrain_offset
+        flat = (ax, ay, az) == (0.0, 0.0, 1.0) and off == 0.0
+        geo = []
+        for c in range(self.n_points):
+            parent = self.contact_parent[c]
+            Lpb = _bvec(pr["cpoint"][c], 3, bshape)
+            Rp, pp, vp = W_R[parent], W_p[parent], W_v[parent]
+            pc = _rv(Rp, Lpb) + pp
+            omega = vp[3:6]
+            pd = vp[0:3] + _cross(omega, pc)
+            if flat:
+                delta = jnp.maximum(0.0, -pc[2])
+                delta_dot = -pd[2]
+            else:
+                ndotp = ax * pc[0] + ay * pc[1] + az * pc[2]
+                delta = jnp.maximum(0.0, off - ndotp)
+                delta_dot = -(ax * pd[0] + ay * pd[1] + az * pd[2])
+            active = (delta > 0).astype(pc.dtype)
+            geo.append(
+                dict(
+                    parent=parent, Lpb=Lpb, Rp=Rp, pc=pc, pd=pd, omega=omega,
+                    delta=delta, delta_dot=delta_dot, active=active,
+                )
+            )
+        return geo
+
+    def _delassus_apply(self, fact, geo, y, bshape, pr, reg):
+        """(G + reg·I) y, matrix-free: scatter masked point forces to local
+        link wrenches, one M⁻¹ substitution pass, gather world point linear
+        accelerations (exactly the relaxed-rigid A-apply minus its diagonal
+        impedance term)."""
+        nL, nC = self.n_links, self.n_points
+        f_loc = [None] * nL
+        for c in range(nC):
+            g = geo[c]
+            yc = jnp.stack([g["active"] * y[c][j] for j in range(3)])
+            Rty = _rtv(g["Rp"], yc)
+            f6 = jnp.concatenate([Rty, _cross(g["Lpb"], Rty)])
+            p = g["parent"]
+            f_loc[p] = f6 if f_loc[p] is None else f_loc[p] + f6
+        a_c, _ = self._minv_apply(fact, f_loc, bshape, pr)
+        out = []
+        for c in range(nC):
+            g = geo[c]
+            ac = a_c[g["parent"]]
+            acc = _rv(g["Rp"], ac[0:3] + _cross(ac[3:6], g["Lpb"]))
+            out.append(
+                [g["active"] * acc[j] + reg * y[c][j] for j in range(3)]
+            )
+        return out
+
+    @staticmethod
+    def _project_friction_cone(p, mu, active):
+        """Moreau projection of a 3D point force (px, py, pn) onto the
+        friction cone {‖f_t‖ ≤ μ f_n, f_n ≥ 0}, zeroed for inactive
+        points. The reference linearizes the cone into a pyramid because
+        its qpax QP needs linear constraints
+        (``rbda/contacts/rigid.py:474-500``); the projection operator
+        handles the exact cone, which is both cheaper (elementwise) and
+        physically isotropic."""
+        px, py, pn = p
+        ft = jnp.sqrt(px * px + py * py + 1e-24)
+        in_cone = ft <= mu * pn
+        in_polar = mu * ft <= -pn
+        fn_b = (mu * ft + pn) / (1.0 + mu * mu)
+        scale = mu * fn_b / ft
+        fx = jnp.where(in_cone, px, jnp.where(in_polar, 0.0, px * scale))
+        fy = jnp.where(in_cone, py, jnp.where(in_polar, 0.0, py * scale))
+        fz = jnp.where(in_cone, pn, jnp.where(in_polar, 0.0, fn_b))
+        return [active * fx, active * fy, active * fz]
+
+    def rigid_contact_forces(
+        self, state: BatchedState, W_R, W_p, W_v, tau, pr=None,
+        return_accelerations: bool = False,
+    ):
+        """Acceleration-level rigid contact solve, trailing batch (reference
+        ``rbda/contacts/rigid.py:283-539`` / repo ``ops/contacts/rigid.py``).
+
+        Solves the same QP as the generic path — minimize
+        ``½ xᵀ(G + εI)x + xᵀ(p̈_free − baumgarte)`` over feasible point
+        forces — but MATRIX-FREE and cone-constrained: accelerated
+        projected gradient descent (APGD/FISTA) whose gradient step applies
+        the Delassus operator via the O(n) articulated substitution passes
+        and whose projection is the exact friction-cone projection (the
+        generic path's ADMM uses the pyramid linearization instead). The
+        Lipschitz constant comes from a short power iteration on the same
+        operator. Everything is elementwise over the batch tiles and
+        Mosaic-lowerable (fori_loop in kernels, lax.scan under XLA for
+        reverse-mode AD)."""
+        pr = pr if pr is not None else self.params()
+        bshape = state.p.shape[1:]
+        nL, nC = self.n_links, self.n_points
+        ax, ay, az = self.terrain_normal
+        reg = self.rigid_reg
+        mu = self.mu
+        zb = jnp.zeros(bshape)
+
+        f_none = [None] * nL
+        W_a_free, sdd_free, fact = self.aba(
+            state, W_R, W_p, W_v, f_none, tau, pr, return_aux=True
+        )
+        a_free = fact["a"]
+        gzb = jnp.full(bshape, self.gravity_z)
+        if "gmul" in pr:
+            gzb = gzb * pr["gmul"]
+
+        geo = self._point_geometry(W_R, W_p, W_v, pr, bshape)
+
+        # q = free point acceleration − Baumgarte (active points only).
+        q_l = []
+        for c in range(nC):
+            g = geo[c]
+            af = a_free[g["parent"]]
+            acc = _rv(g["Rp"], af[0:3] + _cross(af[3:6], g["Lpb"]))
+            wxpd = _cross(g["omega"], g["pd"])
+            pdd = [acc[0] + wxpd[0], acc[1] + wxpd[1], acc[2] + gzb + wxpd[2]]
+            bg = self.K * g["delta"] + self.D * g["delta_dot"]
+            n_hat = (ax, ay, az)
+            q_l.append(
+                [g["active"] * (pdd[j] - bg * n_hat[j]) for j in range(3)]
+            )
+
+        def stack_cj(lists):
+            return jnp.stack(
+                [jnp.stack([lists[c][j] for j in range(3)]) for c in range(nC)]
+            )
+
+        def unstack_cj(arr):
+            return [[arr[c, j] for j in range(3)] for c in range(nC)]
+
+        def dot(xs, ys):
+            return sum(
+                xs[c][j] * ys[c][j] for c in range(nC) for j in range(3)
+            )
+
+        A = lambda y: self._delassus_apply(fact, geo, y, bshape, pr, reg)
+
+        # Lipschitz bound: power iteration on (G + reg I). Start from the
+        # (deterministic) all-ones direction; 1.25 safety factor covers the
+        # from-below convergence of the estimate.
+        v0 = jnp.ones((nC, 3) + bshape)
+        v0 = v0 / jnp.sqrt(jnp.asarray(3.0 * nC))
+
+        def power_step(carry, _):
+            v, lam = carry
+            Av = stack_cj(A(unstack_cj(v)))
+            lam = jnp.sqrt(
+                jnp.maximum(jnp.sum(Av * Av, axis=(0, 1)), 1e-12)
+            )
+            return (Av / lam, lam), None
+
+        if _MOSAIC:
+            (_, lam_max) = jax.lax.fori_loop(
+                0, 8, lambda k, c: power_step(c, None)[0], (v0, jnp.ones(bshape))
+            )
+        else:
+            (_, lam_max), _ = jax.lax.scan(
+                power_step, (v0, jnp.ones(bshape)), None, length=8
+            )
+        L = 1.25 * lam_max + reg
+
+        # APGD / FISTA with fixed iteration count.
+        x0 = jnp.zeros((nC, 3) + bshape)
+        carry0 = (x0, x0, jnp.ones(bshape))
+
+        def apgd_step(carry, _):
+            xs, ys, t = carry
+            y_l = unstack_cj(ys)
+            grad = A(y_l)
+            x_n = []
+            for c in range(nC):
+                g = geo[c]
+                p = [
+                    ys[c, j] - (grad[c][j] + q_l[c][j]) / L for j in range(3)
+                ]
+                x_n.append(self._project_friction_cone(p, mu, g["active"]))
+            t_n = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+            beta = (t - 1.0) / t_n
+            xs_n = stack_cj(x_n)
+            ys_n = xs_n + beta * (xs_n - xs)
+            return (xs_n, ys_n, t_n), None
+
+        if _MOSAIC:
+            xs, _, _ = jax.lax.fori_loop(
+                0,
+                self._rigid_n_iter,
+                lambda k, c: apgd_step(c, None)[0],
+                carry0,
+            )
+        else:
+            (xs, _, _), _ = jax.lax.scan(
+                apgd_step, carry0, None, length=self._rigid_n_iter
+            )
+        x = unstack_cj(xs)
+
+        f_links = [None] * nL
+        f_loc = [None] * nL
+        for c in range(nC):
+            g = geo[c]
+            xc = jnp.stack([g["active"] * x[c][j] for j in range(3)])
+            f6 = jnp.concatenate([xc, _cross(g["pc"], xc)])
+            p = g["parent"]
+            f_links[p] = f6 if f_links[p] is None else f_links[p] + f6
+            Rtx = _rtv(g["Rp"], xc)
+            f6_loc = jnp.concatenate([Rtx, _cross(g["Lpb"], Rtx)])
+            f_loc[p] = f6_loc if f_loc[p] is None else f_loc[p] + f6_loc
+
+        if not return_accelerations:
+            return f_links, None
+
+        a_cont, sdd_cont = self._minv_apply(fact, f_loc, bshape, pr)
+        if self.floating_base:
+            a0 = a_free[0] + a_cont[0]
+            zb6 = jnp.stack([zb, zb, gzb, zb, zb, zb])
+            W_a = _xv(W_R[0], W_p[0], a0) + zb6
+        else:
+            W_a = jnp.zeros((6,) + bshape)
+        return f_links, (W_a, sdd_free + sdd_cont)
+
+    def rigid_impact_projection(self, state: BatchedState, pr=None) -> BatchedState:
+        """Post-integration velocity projection (reference
+        ``rbda/contacts/rigid.py:381-443`` KKT least-squares): active points
+        get zero world linear velocity by solving ``G λ = Jl ν`` on the
+        active set (masked Jacobi-free CG on the regularized Delassus) and
+        applying ``ν ← ν − M⁻¹ Jlᵀ λ``. Inelastic impact — removes the
+        kinetic energy of penetration-ward motion at touchdown."""
+        pr = pr if pr is not None else self.params()
+        bshape = state.p.shape[1:]
+        nL, nC = self.n_links, self.n_points
+        if nC == 0:
+            return state
+        reg = self.rigid_reg
+
+        W_R, W_p, W_v = self.fk(state, pr)
+        f_none = [None] * nL
+        _, _, fact = self.aba(
+            state, W_R, W_p, W_v, f_none,
+            jnp.zeros((self.n_joints,) + bshape), pr, return_aux=True,
+        )
+        geo = self._point_geometry(W_R, W_p, W_v, pr, bshape)
+
+        rhs = [
+            [geo[c]["active"] * geo[c]["pd"][j] for j in range(3)]
+            for c in range(nC)
+        ]
+
+        def stack_cj(lists):
+            return jnp.stack(
+                [jnp.stack([lists[c][j] for j in range(3)]) for c in range(nC)]
+            )
+
+        def unstack_cj(arr):
+            return [[arr[c, j] for j in range(3)] for c in range(nC)]
+
+        def dot(xs, ys):
+            return sum(
+                xs[c][j] * ys[c][j] for c in range(nC) for j in range(3)
+            )
+
+        A = lambda y: self._delassus_apply(fact, geo, y, bshape, pr, reg)
+
+        x0 = jnp.zeros((nC, 3) + bshape)
+        r0 = rhs
+        carry0 = (x0, stack_cj(r0), stack_cj(r0), dot(r0, r0))
+
+        def cg_step(carry, _):
+            xs, rs, ps, rr_ = carry
+            p_l = unstack_cj(ps)
+            Ap = A(p_l)
+            alpha = rr_ / (dot(p_l, Ap) + 1e-20)
+            xs_n = xs + alpha * ps
+            r_n = [
+                [rs[c, j] - alpha * Ap[c][j] for j in range(3)]
+                for c in range(nC)
+            ]
+            rr_n = dot(r_n, r_n)
+            beta = rr_n / (rr_ + 1e-20)
+            ps_n = stack_cj(r_n) + beta * ps
+            return (xs_n, stack_cj(r_n), ps_n, rr_n), None
+
+        n_iter = min(self._rigid_n_iter, 24)
+        if _MOSAIC:
+            xs, _, _, _ = jax.lax.fori_loop(
+                0, n_iter, lambda k, c: cg_step(c, None)[0], carry0
+            )
+        else:
+            (xs, _, _, _), _ = jax.lax.scan(
+                cg_step, carry0, None, length=n_iter
+            )
+        lam = unstack_cj(xs)
+
+        # Δν = −M⁻¹ Jlᵀ λ, applied via the same scatter + substitution.
+        f_loc = [None] * nL
+        for c in range(nC):
+            g = geo[c]
+            lc = jnp.stack([g["active"] * lam[c][j] for j in range(3)])
+            Rtl = _rtv(g["Rp"], lc)
+            f6 = jnp.concatenate([Rtl, _cross(g["Lpb"], Rtl)])
+            p = g["parent"]
+            f_loc[p] = f6 if f_loc[p] is None else f_loc[p] + f6
+        dv_loc, dsd = self._minv_apply(fact, f_loc, bshape, pr)
+
+        if self.floating_base:
+            W_dv = _xv(W_R[0], W_p[0], dv_loc[0])
+            v_new = state.v - W_dv
+        else:
+            v_new = state.v
+        return dataclasses.replace(
+            state, v=v_new, sd=state.sd - dsd
+        )
+
     def _contact_forces(self, state: BatchedState, W_R, W_p, W_v, tau, pr):
         """Contact-model dispatch → (per-link world 6D forces, ṁ)."""
         if self.n_points == 0:
             return [None] * self.n_links, jnp.zeros_like(state.m)
         if self.contact_model == "relaxed_rigid":
             f_links, _ = self.relaxed_rigid_contact_forces(
+                state, W_R, W_p, W_v, tau, pr
+            )
+            return f_links, jnp.zeros_like(state.m)
+        if self.contact_model == "rigid":
+            f_links, _ = self.rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr
             )
             return f_links, jnp.zeros_like(state.m)
@@ -1202,6 +1548,11 @@ class BatchedEngine:
                 state, W_R, W_p, W_v, tau, pr, return_accelerations=True
             )
             md = jnp.zeros_like(state.m)
+        elif self.contact_model == "rigid" and self.n_points > 0:
+            _, (W_a, sdd) = self.rigid_contact_forces(
+                state, W_R, W_p, W_v, tau, pr, return_accelerations=True
+            )
+            md = jnp.zeros_like(state.m)
         else:
             if self.n_points > 0:
                 f_links, md = self.soft_contact_forces(
@@ -1251,11 +1602,19 @@ class BatchedEngine:
         tau = tau if tau is not None else jnp.zeros((self.n_joints,) + bshape)
 
         if self.integrator in ("rk4", "rk4fast"):
-            return self._rk4_step(state, tau, pr)
+            new = self._rk4_step(state, tau, pr)
+            if self.contact_model == "rigid" and self.n_points > 0:
+                new = self.rigid_impact_projection(new, pr)
+            return new
 
         W_R, W_p, W_v = self.fk(state, pr)
         if self.contact_model == "relaxed_rigid" and self.n_points > 0:
             _, (W_a, sdd) = self.relaxed_rigid_contact_forces(
+                state, W_R, W_p, W_v, tau, pr, return_accelerations=True
+            )
+            md = jnp.zeros_like(state.m)
+        elif self.contact_model == "rigid" and self.n_points > 0:
+            _, (W_a, sdd) = self.rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr, return_accelerations=True
             )
             md = jnp.zeros_like(state.m)
@@ -1279,7 +1638,7 @@ class BatchedEngine:
         qd = self._quat_derivative(state.q, omega)
         q_new = self._normalize_quat(state.q + dt * qd)
 
-        return BatchedState(
+        new = BatchedState(
             s=state.s + dt * sd_new,
             sd=sd_new,
             p=p_new,
@@ -1287,6 +1646,9 @@ class BatchedEngine:
             v=v_new,
             m=state.m + dt * md,
         )
+        if self.contact_model == "rigid" and self.n_points > 0:
+            new = self.rigid_impact_projection(new, pr)
+        return new
 
     def rollout(
         self, state: BatchedState, n_steps: int, policy=None, domain=None

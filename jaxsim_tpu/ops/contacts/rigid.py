@@ -132,13 +132,19 @@ class RigidContacts(common.ContactModel):
             ]
         )
 
-        # Free linear acceleration of the points (doubly-mixed = W_p̈_C).
-        Jl = J_WC[:, 0:3, :].reshape(3 * n_points, -1)
-        Jdl = Jd_WC[:, 0:3, :].reshape(3 * n_points, -1)
-        free_contact_acc = Jl @ BW_nud_free + Jdl @ BW_nu
-
-        # Baumgarte stabilization (zero for inactive points).
+        # Zero the Jacobian rows of inactive points BEFORE building the QP
+        # (reference ``rigid.py:201-208`` does this for the impact
+        # projection): with finite ADMM iterations, leaving the free
+        # acceleration of flying points in the objective pulls spurious
+        # nonzero forces on them (the fz<=0 row only binds at convergence),
+        # which act as phantom brakes on the joints.
         inactive = delta <= 0
+        mask = jnp.where(inactive[:, None, None], 0.0, 1.0)
+
+        # Free linear acceleration of the points (doubly-mixed = W_p̈_C).
+        Jl = (mask * J_WC[:, 0:3, :]).reshape(3 * n_points, -1)
+        Jdl = (mask * Jd_WC[:, 0:3, :]).reshape(3 * n_points, -1)
+        free_contact_acc = Jl @ BW_nud_free + Jdl @ BW_nu
         baumgarte = jnp.where(
             inactive[:, None],
             jnp.zeros_like(n_hat),
@@ -172,7 +178,7 @@ class RigidContacts(common.ContactModel):
         h = jnp.zeros(6 * n_points)
 
         x, _ = solve_qp(Q, q, G, h, iterations=self.qp_iterations)
-        CW_fl = x.reshape(-1, 3)
+        CW_fl = jnp.where(inactive[:, None], 0.0, x.reshape(-1, 3))
 
         # Mixed → inertial 6D forces.
         W_p_C = position

@@ -164,13 +164,13 @@ def test_engine_rejects_unsupported_configs():
     with pytest.raises(ValueError):
         BatchedEngine.build(m1)
 
+    # Rigid (QP) contacts ARE supported since the APGD lowering.
     m2 = js.JaxSimModel.build_from_model_description(
         models.build_box_urdf(),
         contact_model=RigidContacts(),
         contact_params=RigidContactsParams.build(),
     )
-    with pytest.raises(ValueError):
-        BatchedEngine.build(m2)
+    assert BatchedEngine.build(m2).contact_model == "rigid"
 
 
 def test_engine_plane_terrain_equivalence():
@@ -709,9 +709,13 @@ def test_engine_relaxed_rigid_garpez_equivalence(integrator_name, prng_key):
     eng = _rr_engine(model)
     n = model.number_of_joints()
 
+    # Tilted low base: two bottom corners in definite penetration, so the
+    # PCG contact solve is actually exercised (a pose at the model's
+    # standing height leaves every collidable point airborne).
     data = js.JaxSimModelData.build(
         model,
-        base_position=jnp.array([0.0, 0.0, 0.34]),
+        base_position=jnp.array([0.0, 0.0, 0.015]),
+        base_quaternion=jnp.array([0.995, 0.0998, 0.0, 0.0]),
         joint_positions=0.05 * jax.random.normal(prng_key, (n,)),
     )
     data = jax.tree.map(lambda x: x[None], data)
@@ -1023,3 +1027,150 @@ def test_diff_pallas_rollout_hw_param_gradient():
     rg = jax.grad(loss_cp_ref)(0.0)
     assert_allclose(g, rg, rtol=1e-4, atol=1e-7)
     assert float(jnp.abs(g)) > 0.0
+
+
+# ----- rigid (QP) contacts in the engine -----
+
+
+def _rigid_model(urdf, itype=None, mu=1.0):
+    from jaxsim_tpu.api.model import IntegratorType
+    from jaxsim_tpu.ops.contacts.rigid import RigidContacts, RigidContactsParams
+
+    return js.JaxSimModel.build_from_model_description(
+        urdf,
+        contact_model=RigidContacts(),
+        contact_params=RigidContactsParams.build(
+            mu=mu, K=1e3, D=2 * np.sqrt(1e3)
+        ),
+        integrator=itype or IntegratorType.SemiImplicitEuler,
+    )
+
+
+def test_engine_rigid_box_settles():
+    """A box dropped on rigid (QP) contacts lands ON the plane and stays:
+    the APGD contact forces cancel gravity exactly (no penetration drift)
+    and the inelastic impact projection removes touchdown velocity."""
+    model = _rigid_model(models.build_box_urdf())
+    eng = BatchedEngine.build(model)
+    assert eng.contact_model == "rigid"
+    st = eng.init_state(2, base_position=(0.0, 0.0, 0.08))
+    out = jax.jit(
+        lambda s: eng.rollout(s, 300, policy=lambda st_: jnp.zeros_like(st_.s))
+    )(st)
+    # Half-height 0.05; Baumgarte holds the box at the surface.
+    assert np.all(np.asarray(out.p[2]) > 0.045)
+    assert np.all(np.asarray(out.p[2]) < 0.055)
+    assert np.all(np.abs(np.asarray(out.v)) < 0.02)
+
+
+def test_engine_rigid_box_equivalence(prng_key):
+    """Floating box landing on rigid contacts: the engine's matrix-free
+    APGD + impact projection matches the generic ADMM + KKT-lstsq path
+    (tier C — the solvers differ: cone projection vs pyramid
+    linearization, so scenarios keep tangential forces inside both sets)."""
+    model = _rigid_model(models.build_box_urdf())
+    eng = BatchedEngine.build(model)
+
+    B = 4
+    keys = jax.random.split(prng_key, B)
+
+    def build_one(k):
+        kk = jax.random.split(k, 2)
+        return js.JaxSimModelData.build(
+            model,
+            base_position=jnp.array([0.0, 0.0, 0.06])
+            + 0.01 * jax.random.normal(kk[0], (3,)) * jnp.array([1, 1, 0.2]),
+            base_linear_velocity=0.02 * jax.random.normal(kk[1], (3,)),
+        )
+
+    data = jax.vmap(build_one)(keys)
+    step_ref = jax.jit(jax.vmap(lambda d: js.model.step(model, d)))
+    step_eng = jax.jit(lambda s: eng.step(s))
+    st = eng.state_from_data(data)
+    for _ in range(5):
+        data = step_ref(data)
+        st = step_eng(st)
+    assert_allclose(data.base_position, jnp.moveaxis(st.p, -1, 0), rtol=1e-3, atol=1e-4)
+    assert_allclose(data.base_quaternion, jnp.moveaxis(st.q, -1, 0), rtol=1e-3, atol=1e-4)
+    assert_allclose(
+        data.base_linear_velocity_inertial,
+        jnp.moveaxis(st.v[0:3], -1, 0),
+        rtol=2e-3,
+        atol=5e-4,
+    )
+
+
+@pytest.mark.parametrize(
+    "integrator_name",
+    ["sie", pytest.param("rk4", marks=pytest.mark.slow)],
+)
+def test_engine_rigid_garpez_equivalence(integrator_name, prng_key):
+    """Articulated floating-base model on rigid contacts (SIE and RK4):
+    engine trajectories match the generic path (tier C/T)."""
+    from jaxsim_tpu.api.model import IntegratorType
+
+    itype = {
+        "sie": IntegratorType.SemiImplicitEuler,
+        "rk4": IntegratorType.RungeKutta4,
+    }[integrator_name]
+    model = _rigid_model(models.build_garpez_urdf(), itype)
+    eng = BatchedEngine.build(model)
+    n = model.number_of_joints()
+
+    # The tilted low base puts two bottom corners in definite penetration
+    # (at exactly delta == 0 the active set is discontinuous and
+    # engine-vs-generic f32 FK noise flips it; airborne poses would not
+    # exercise the contact solve at all).
+    data = js.JaxSimModelData.build(
+        model,
+        base_position=jnp.array([0.0, 0.0, 0.015]),
+        base_quaternion=jnp.array([0.995, 0.0998, 0.0, 0.0]),
+        joint_positions=0.05 * jax.random.normal(prng_key, (n,)),
+    )
+    data = jax.tree.map(lambda x: x[None], data)
+    tau_fn = lambda s, sd: -20.0 * s - 0.1 * sd
+    step_ref = jax.jit(
+        jax.vmap(
+            lambda d: js.model.step(
+                model,
+                d,
+                joint_force_references=tau_fn(
+                    d.joint_positions, d.joint_velocities
+                ),
+            )
+        )
+    )
+    step_eng = jax.jit(lambda s: eng.step(s, tau_fn(s.s, s.sd)))
+    st = eng.state_from_data(data)
+    for _ in range(3):
+        data = step_ref(data)
+        st = step_eng(st)
+    assert_allclose(data.base_position, jnp.moveaxis(st.p, -1, 0), rtol=1e-3, atol=1e-4)
+    assert_allclose(data.joint_positions, jnp.moveaxis(st.s, -1, 0), rtol=1e-3, atol=1e-4)
+    assert_allclose(
+        data.joint_velocities, jnp.moveaxis(st.sd, -1, 0), rtol=1e-2, atol=1e-2
+    )
+
+
+@pytest.mark.slow
+def test_pallas_rigid_interpret():
+    """The fused Pallas step kernel runs the rigid APGD solve + impact
+    projection in-kernel (interpret mode) and matches the XLA engine
+    step."""
+    import dataclasses as dc
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = _rigid_model(models.build_garpez_urdf())
+    eng = dc.replace(BatchedEngine.build(model), rigid_iterations=8)
+    st = ps.tile_state(eng.init_state(1024, base_position=(0.0, 0.0, 0.33)))
+    policy = lambda s: -5.0 * s.s - 0.1 * s.sd
+    ref = eng.step(st, policy(st))
+    with pltpu.force_tpu_interpret_mode():
+        out = ps.build_pallas_step(eng, policy)(st)
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )

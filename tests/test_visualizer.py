@@ -33,6 +33,44 @@ def test_urdf_to_mjcf_floating_base():
     assert helper.joint_position("l_knee") == pytest.approx(-0.5)
 
 
+def test_model_helper_introspection():
+    """Body/geometry/orientation accessors of MujocoModelHelper
+    (reference ``mujoco/model.py:174-404``)."""
+    mjcf = ModelToMjcf.convert(models.build_humanoid_urdf())
+    model = mujoco.MjModel.from_xml_string(mjcf)
+    helper = MujocoModelHelper(model)
+
+    assert not helper.is_fixed_base()
+    assert helper.base_link() in helper.body_names()
+    assert helper.number_of_bodies() == model.nbody
+    assert helper.number_of_geometries() == model.ngeom
+    assert helper.joint_dofs("l_knee") == 1
+
+    helper.set_base_position(np.array([0.1, 0.2, 0.9]))
+    helper.set_base_orientation(np.array([1.0, 0.0, 0.0, 0.0]))
+    helper.forward()
+
+    R = helper.base_orientation(dcm=True)
+    np.testing.assert_allclose(R, np.eye(3), atol=1e-12)
+
+    body = helper.base_link()
+    np.testing.assert_allclose(
+        helper.body_position(body), [0.1, 0.2, 0.9], atol=1e-12
+    )
+    Rb = helper.body_orientation(body, dcm=True)
+    qb = helper.body_orientation(body)
+    np.testing.assert_allclose(Rb, np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(qb, [1, 0, 0, 0], atol=1e-12)
+
+    gname = next(n for n in helper.geometry_names() if n)
+    gpos = helper.geometry_position(gname)
+    assert gpos.shape == (3,)
+    Rg = helper.geometry_orientation(gname, dcm=True)
+    qg = helper.geometry_orientation(gname)
+    np.testing.assert_allclose(Rg @ Rg.T, np.eye(3), atol=1e-7)
+    np.testing.assert_allclose(np.linalg.norm(qg), 1.0, atol=1e-7)
+
+
 def test_sdf_to_mjcf():
     sdf = """<sdf version="1.7"><model name="sdfbox">
       <link name="b"><inertial><mass>1</mass>

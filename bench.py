@@ -240,6 +240,11 @@ def main() -> None:
                 integrator=integrator,
             )
             eng_rq = BatchedEngine.build(model_rq)
+            rq_iters = int(os.environ.get("BENCH_RIGID_ITERS", "0"))
+            if rq_iters:
+                import dataclasses as _dc
+
+                eng_rq = _dc.replace(eng_rq, rigid_iterations=rq_iters)
             st_rq = _ps.tile_state(
                 eng_rq.init_state(batch_size, key=jax.random.PRNGKey(5))
             )

@@ -510,9 +510,16 @@ class BatchedEngine:
                 velocity_representation=js.VelRepr.Inertial,
             )
         )(T(state.p), T(state.q), T(state.s), T(state.v), T(state.sd))
+        # For rigid engines m carries the warm-start contact forces, which
+        # are internal solver state — not material deformation.
+        m_out = (
+            jnp.zeros_like(state.m)
+            if self.contact_model == "rigid"
+            else state.m
+        )
         return dataclasses.replace(
             data,
-            contact_state={"tangential_deformation": jnp.moveaxis(state.m, -1, 0)},
+            contact_state={"tangential_deformation": jnp.moveaxis(m_out, -1, 0)},
         )
 
     def init_state(
@@ -1167,8 +1174,23 @@ class BatchedEngine:
             )
         L = 1.25 * lam_max + reg
 
-        # APGD / FISTA with fixed iteration count.
-        x0 = jnp.zeros((nC, 3) + bshape)
+        # APGD / FISTA with fixed iteration count, warm-started from the
+        # previous step's forces (carried in ``state.m``, which is unused
+        # by the rigid model otherwise): geometry moves O(dt) per step, so
+        # the cone-projection of the previous solution is an excellent
+        # initial iterate and steady-state contacts converge in a few
+        # iterations. First step after ``init_state``/``state_from_data``
+        # has m = 0 = the cold start.
+        x0 = stack_cj(
+            [
+                self._project_friction_cone(
+                    [state.m[c, 0], state.m[c, 1], state.m[c, 2]],
+                    mu,
+                    geo[c]["active"],
+                )
+                for c in range(nC)
+            ]
+        )
         carry0 = (x0, x0, jnp.ones(bshape))
 
         def apgd_step(carry, _):
@@ -1214,7 +1236,7 @@ class BatchedEngine:
             f_loc[p] = f6_loc if f_loc[p] is None else f_loc[p] + f6_loc
 
         if not return_accelerations:
-            return f_links, None
+            return f_links, None, xs
 
         a_cont, sdd_cont = self._minv_apply(fact, f_loc, bshape, pr)
         if self.floating_base:
@@ -1223,7 +1245,7 @@ class BatchedEngine:
             W_a = _xv(W_R[0], W_p[0], a0) + zb6
         else:
             W_a = jnp.zeros((6,) + bshape)
-        return f_links, (W_a, sdd_free + sdd_cont)
+        return f_links, (W_a, sdd_free + sdd_cont), xs
 
     def rigid_impact_projection(self, state: BatchedState, pr=None) -> BatchedState:
         """Post-integration velocity projection (reference
@@ -1247,11 +1269,6 @@ class BatchedEngine:
         )
         geo = self._point_geometry(W_R, W_p, W_v, pr, bshape)
 
-        rhs = [
-            [geo[c]["active"] * geo[c]["pd"][j] for j in range(3)]
-            for c in range(nC)
-        ]
-
         def stack_cj(lists):
             return jnp.stack(
                 [jnp.stack([lists[c][j] for j in range(3)]) for c in range(nC)]
@@ -1260,40 +1277,55 @@ class BatchedEngine:
         def unstack_cj(arr):
             return [[arr[c, j] for j in range(3)] for c in range(nC)]
 
-        def dot(xs, ys):
-            return sum(
-                xs[c][j] * ys[c][j] for c in range(nC) for j in range(3)
-            )
-
-        A = lambda y: self._delassus_apply(fact, geo, y, bshape, pr, reg)
-
-        x0 = jnp.zeros((nC, 3) + bshape)
-        r0 = rhs
-        carry0 = (x0, stack_cj(r0), stack_cj(r0), dot(r0, r0))
-
-        def cg_step(carry, _):
-            xs, rs, ps, rr_ = carry
-            p_l = unstack_cj(ps)
-            Ap = A(p_l)
-            alpha = rr_ / (dot(p_l, Ap) + 1e-20)
-            xs_n = xs + alpha * ps
-            r_n = [
-                [rs[c, j] - alpha * Ap[c][j] for j in range(3)]
+        b_arr = stack_cj(
+            [
+                [geo[c]["active"] * geo[c]["pd"][j] for j in range(3)]
                 for c in range(nC)
             ]
-            rr_n = dot(r_n, r_n)
-            beta = rr_n / (rr_ + 1e-20)
-            ps_n = stack_cj(r_n) + beta * ps
-            return (xs_n, stack_cj(r_n), ps_n, rr_n), None
+        )
+
+        def matvec(y_arr):
+            return stack_cj(
+                self._delassus_apply(fact, geo, unstack_cj(y_arr), bshape, pr, reg)
+            )
 
         n_iter = min(self._rigid_n_iter, 24)
+
+        def cg_solve(mv, b):
+            carry0 = (jnp.zeros_like(b), b, b, jnp.sum(b * b, axis=(0, 1)))
+
+            def cg_step(carry, _):
+                xs, rs, ps, rr_ = carry
+                Ap = mv(ps)
+                alpha = rr_ / (jnp.sum(ps * Ap, axis=(0, 1)) + 1e-20)
+                xs = xs + alpha * ps
+                rs = rs - alpha * Ap
+                rr_n = jnp.sum(rs * rs, axis=(0, 1))
+                beta = rr_n / (rr_ + 1e-20)
+                return (xs, rs, rs + beta * ps, rr_n), None
+
+            if _MOSAIC:
+                xs, _, _, _ = jax.lax.fori_loop(
+                    0, n_iter, lambda k, c: cg_step(c, None)[0], carry0
+                )
+            else:
+                (xs, _, _, _), _ = jax.lax.scan(
+                    cg_step, carry0, None, length=n_iter
+                )
+            return xs
+
         if _MOSAIC:
-            xs, _, _, _ = jax.lax.fori_loop(
-                0, n_iter, lambda k, c: cg_step(c, None)[0], carry0
-            )
+            # Kernel path is forward-only: run the CG directly (the
+            # custom_linear_solve primitive has no Mosaic lowering).
+            xs = cg_solve(matvec, b_arr)
         else:
-            (xs, _, _, _), _ = jax.lax.scan(
-                cg_step, carry0, None, length=n_iter
+            # Differentiate the projection implicitly: reverse-mode
+            # through an unrolled near-singular CG (the Delassus on the
+            # active set is rank-deficient, reg is tiny) explodes to NaN;
+            # custom_linear_solve transposes the SPD solve instead of the
+            # iteration graph.
+            xs = jax.lax.custom_linear_solve(
+                matvec, b_arr, cg_solve, symmetric=True
             )
         lam = unstack_cj(xs)
 
@@ -1327,10 +1359,13 @@ class BatchedEngine:
             )
             return f_links, jnp.zeros_like(state.m)
         if self.contact_model == "rigid":
-            f_links, _ = self.rigid_contact_forces(
+            f_links, _, xs = self.rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr
             )
-            return f_links, jnp.zeros_like(state.m)
+            # ṁ steers m toward the solved forces so the NEXT step's APGD
+            # warm-starts from them (SIE lands exactly on xs; RK4 blends
+            # stage solutions — either is a fine initial iterate).
+            return f_links, (xs - state.m) / self.dt
         return self.soft_contact_forces(W_R, W_p, W_v, state.m, pr)
 
     # ----- dynamics -----
@@ -1549,10 +1584,11 @@ class BatchedEngine:
             )
             md = jnp.zeros_like(state.m)
         elif self.contact_model == "rigid" and self.n_points > 0:
-            _, (W_a, sdd) = self.rigid_contact_forces(
+            _, (W_a, sdd), xs = self.rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr, return_accelerations=True
             )
-            md = jnp.zeros_like(state.m)
+            # Carry the solved forces in m for next-step APGD warm starts.
+            md = (xs - state.m) / self.dt
         else:
             if self.n_points > 0:
                 f_links, md = self.soft_contact_forces(
@@ -1614,10 +1650,11 @@ class BatchedEngine:
             )
             md = jnp.zeros_like(state.m)
         elif self.contact_model == "rigid" and self.n_points > 0:
-            _, (W_a, sdd) = self.rigid_contact_forces(
+            _, (W_a, sdd), xs = self.rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr, return_accelerations=True
             )
-            md = jnp.zeros_like(state.m)
+            # Carry the solved forces in m for next-step APGD warm starts.
+            md = (xs - state.m) / self.dt
         else:
             if self.n_points > 0:
                 f_links, md = self.soft_contact_forces(

@@ -1152,6 +1152,39 @@ def test_engine_rigid_garpez_equivalence(integrator_name, prng_key):
     )
 
 
+def test_engine_rigid_step_gradient(prng_key):
+    """Reverse-mode through the rigid engine step (APGD forces + impact
+    projection) is finite and matches finite differences: the projection's
+    near-singular CG is differentiated implicitly via custom_linear_solve
+    (unrolling its backward explodes to NaN)."""
+    import dataclasses as dc
+
+    model = _rigid_model(models.build_garpez_urdf())
+    eng = dc.replace(BatchedEngine.build(model), rigid_iterations=6)
+    n = model.number_of_joints()
+    s0 = 0.05 * jax.random.normal(prng_key, (n,))
+    st0 = eng.init_state(1, base_position=(0.0, 0.0, 0.015))
+    st0 = dc.replace(
+        st0,
+        s=s0[:, None] * jnp.ones_like(st0.s),
+        q=jnp.array([0.995, 0.0998, 0.0, 0.0])[:, None]
+        * jnp.ones_like(st0.q),
+    )
+
+    def loss(kp):
+        st = st0
+        for _ in range(2):
+            st = eng.step(st, -kp * st.s - 0.1 * st.sd)
+        return jnp.sum(st.s**2) + jnp.sum(st.sd**2)
+
+    g = jax.jit(jax.grad(loss))(20.0)
+    assert np.isfinite(float(g))
+    eps = 1e-2
+    fd = (loss(20.0 + eps) - loss(20.0 - eps)) / (2 * eps)
+    # Tier A (AD vs FD).
+    assert_allclose(g, fd, rtol=0.15, atol=1e-8)
+
+
 @pytest.mark.slow
 def test_pallas_rigid_interpret():
     """The fused Pallas step kernel runs the rigid APGD solve + impact

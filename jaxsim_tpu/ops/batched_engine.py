@@ -346,6 +346,12 @@ class BatchedEngine:
         # all three contact models (soft / rigid QP / relaxed-rigid) with
         # all three fixed-step integrators (SIE / RK4 / RK4-fast); other
         # configurations use the generic js.model.step path.
+        if len(model.kin_dyn_parameters.constraints or ()) > 0:
+            raise ValueError(
+                "BatchedEngine does not implement kinematic (weld)"
+                " constraints; use the generic js.model.step path for"
+                " constrained models"
+            )
         if not isinstance(model.terrain, FlatTerrain):
             raise ValueError(
                 "BatchedEngine supports flat/plane terrain; use the generic"

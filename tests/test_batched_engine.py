@@ -172,6 +172,17 @@ def test_engine_rejects_unsupported_configs():
     )
     assert BatchedEngine.build(m2).contact_model == "rigid"
 
+    # Kinematic (weld) constraints are generic-path-only: silently dropping
+    # them on the fast path would simulate the wrong mechanism.
+    from jaxsim_tpu.api.kin_dyn_parameters import ConstraintMap
+
+    m3 = js.JaxSimModel.build_from_model_description(
+        models.build_garpez_urdf(),
+        constraints=ConstraintMap().add_constraint(0, 1),
+    )
+    with pytest.raises(ValueError, match="constraint"):
+        BatchedEngine.build(m3)
+
 
 def test_engine_plane_terrain_equivalence():
     """A sphere dropped on a 10-degree incline: the engine's static-normal

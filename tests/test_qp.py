@@ -221,3 +221,122 @@ def test_admm_stress_high_mass_ratio():
     # ...and more iterations do not regress.
     assert gap1k < 1e-3, gap1k
     assert float(info1k["stationarity"]) <= float(info60["stationarity"]) + 1e-4
+
+
+def _scipy_reference_cone_qp(Q, q, mu):
+    """Independent cone-constrained solution via scipy SLSQP: per point
+    {mu*fn >= ||ft||, fn >= 0} (smooth sqrt with tiny eps)."""
+    from scipy.optimize import minimize
+
+    n = Q.shape[0]
+    n_points = n // 3
+    cons = []
+    for c in range(n_points):
+        i = 3 * c
+
+        def cone(x, i=i):
+            return mu * x[i + 2] - np.sqrt(x[i] ** 2 + x[i + 1] ** 2 + 1e-16)
+
+        cons.append({"type": "ineq", "fun": cone})
+        cons.append({"type": "ineq", "fun": lambda x, i=i: x[i + 2]})
+    res = minimize(
+        lambda x: 0.5 * x @ Q @ x + q @ x,
+        np.zeros(n),
+        jac=lambda x: Q @ x + q,
+        constraints=cons,
+        method="SLSQP",
+        options={"maxiter": 2000, "ftol": 1e-12},
+    )
+    # SLSQP may stop at the iteration limit on the nonsmooth cone apex;
+    # accept the iterate if it is feasible — the caller treats it as an
+    # upper bound on the optimum, which one-sides the comparison safely.
+    x = res.x
+    for c in range(n_points):
+        i = 3 * c
+        assert x[i + 2] >= -1e-8
+        assert mu * x[i + 2] - np.hypot(x[i], x[i + 1]) >= -1e-6
+    return x
+
+
+def _dense_apgd(Q, q, mu, iterations, x0):
+    """Dense mirror of the engine's matrix-free APGD (same cone projection
+    operator, same FISTA momentum, same Lipschitz safety factor) — pins the
+    ALGORITHM's accuracy at the engine's fixed iteration budgets against
+    scipy; the engine's wiring is covered by the equivalence tests."""
+    from jaxsim_tpu.ops.batched_engine import BatchedEngine
+
+    L = 1.25 * np.linalg.norm(Q, 2)
+    one = jnp.ones(())
+    x = y = jnp.asarray(x0)
+    t = 1.0
+    for _ in range(iterations):
+        p = y - (Q @ y + q) / L
+        xs = []
+        for c in range(len(p) // 3):
+            fx, fy, fz = BatchedEngine._project_friction_cone(
+                [p[3 * c], p[3 * c + 1], p[3 * c + 2]], mu, one
+            )
+            xs += [fx, fy, fz]
+        x_n = jnp.stack(xs)
+        t_n = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
+        y = x_n + ((t - 1.0) / t_n) * (x_n - x)
+        x, t = x_n, t_n
+    return np.asarray(x)
+
+
+def test_apgd_cone_matches_scipy_on_humanoid_delassus():
+    """The engine's APGD cone solve reaches the scipy cone-QP optimum on a
+    humanoid-foot Delassus system at the auto iteration budget, and a
+    warm start from a perturbed optimum reaches the same accuracy in a
+    fraction of the iterations (the rigid hot path carries forces between
+    steps in state.m for exactly this reason)."""
+    import jaxsim_tpu.api as js
+    from jaxsim_tpu import models
+
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_humanoid_urdf()
+    )
+    data = js.JaxSimModelData.build(
+        model,
+        base_position=jnp.array([0.0, 0.0, 0.84]),
+        joint_positions=0.05 * jax.random.normal(jax.random.PRNGKey(3), (23,)),
+    )
+    mu = 0.6
+    Q, q, _, _ = _contact_qp_from_state(model, data, mu)
+    sel = slice(0, 24)  # 8 points (one foot box) x 3
+    Qs, qs = np.asarray(Q[sel, sel], dtype=np.float64), np.asarray(
+        q[sel], dtype=np.float64
+    )
+
+    x_ref = _scipy_reference_cone_qp(Qs, qs, mu)
+    obj = lambda x: 0.5 * x @ Qs @ x + qs @ x
+    scale = max(1.0, abs(obj(x_ref)))
+
+    def cone_violation(x):
+        v = 0.0
+        for c in range(8):
+            i = 3 * c
+            v = max(v, -x[i + 2], np.hypot(x[i], x[i + 1]) - mu * x[i + 2])
+        return v
+
+    # Cold start at the engine's auto budget for nC=8: 2*8+16 = 32. The
+    # scipy iterate is feasible, so obj(x_ref) upper-bounds the optimum:
+    # a feasible APGD iterate within tolerance of it is within tolerance
+    # of the true optimum. Measured profile on this cond~1e6 system
+    # (docs/architecture.md): cold 32 -> 4e-3, 64 -> 1e-4, 128 -> 7e-7;
+    # warm 4 -> 4e-4, 8 -> 6e-5.
+    x_cold = _dense_apgd(Qs, qs, mu, 32, np.zeros(24))
+    assert cone_violation(x_cold) < 1e-5
+    gap_cold = (obj(x_cold) - obj(x_ref)) / scale
+    assert gap_cold < 1e-2, gap_cold
+
+    # Warm start (perturbed optimum ~ previous-step forces): an order of
+    # magnitude tighter in a quarter of the iterations — the reason the
+    # rigid hot path carries forces between steps.
+    rng = np.random.default_rng(1)
+    x_warm0 = x_ref * (1.0 + 0.05 * rng.normal(size=24))
+    x_warm = _dense_apgd(Qs, qs, mu, 8, x_warm0)
+    assert cone_violation(x_warm) < 1e-5
+    gap_warm = (obj(x_warm) - obj(x_ref)) / scale
+    assert gap_warm < 5e-4, gap_warm
+    assert gap_warm < gap_cold

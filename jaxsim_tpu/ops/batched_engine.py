@@ -927,54 +927,64 @@ class BatchedEngine:
             return [[arr[c, j] for j in range(3)] for c in range(nC)]
 
         # Jacobi-preconditioned CG on A x = −b, fixed iteration count. The
-        # loop body runs under lax.scan so the (large) G-apply graph is
-        # traced ONCE — unrolling it made XLA/Mosaic compiles intractable
-        # for many-point models — while staying reverse-AD-compatible
-        # (scan, not fori_loop).
-        r0 = [[-b_l[c][j] for j in range(3)] for c in range(nC)]
-        z0 = [[r0[c][j] / prec_l[c][j] for j in range(3)] for c in range(nC)]
-        x0s = jnp.zeros((nC, 3) + bshape)
-        # scan carries (x, r, p, rz); the search direction p starts at z.
-        carry0 = (x0s, stack_cj(r0), stack_cj(z0), dot(r0, z0))
+        # loop body runs under fori_loop/scan so the (large) G-apply graph
+        # is traced ONCE — unrolling it made XLA/Mosaic compiles
+        # intractable for many-point models.
+        neg_b = stack_cj(
+            [[-b_l[c][j] for j in range(3)] for c in range(nC)]
+        )
+        prec_arr = stack_cj(prec_l)
 
-        def cg_step(carry, _):
-            xs, rs, ps, rz = carry
-            p_l = unstack_cj(ps)
-            Ap = A_apply(p_l)
-            alpha = rz / (dot(p_l, Ap) + 1e-20)
-            x_n = [
-                [xs[c, j] + alpha * p_l[c][j] for j in range(3)]
-                for c in range(nC)
-            ]
-            r_n = [
-                [rs[c, j] - alpha * Ap[c][j] for j in range(3)]
-                for c in range(nC)
-            ]
-            z_n = [
-                [r_n[c][j] / prec_l[c][j] for j in range(3)]
-                for c in range(nC)
-            ]
-            rz_n = dot(r_n, z_n)
-            beta = rz_n / (rz + 1e-20)
-            p_n = [
-                [z_n[c][j] + beta * p_l[c][j] for j in range(3)]
-                for c in range(nC)
-            ]
-            return (stack_cj(x_n), stack_cj(r_n), stack_cj(p_n), rz_n), None
+        def matvec_arr(y_arr):
+            return stack_cj(A_apply(unstack_cj(y_arr)))
+
+        def pcg_solve(mv, b_arr):
+            r0 = b_arr
+            z0 = r0 / prec_arr
+            carry0 = (
+                jnp.zeros_like(b_arr),
+                r0,
+                z0,
+                jnp.sum(r0 * z0, axis=(0, 1)),
+            )
+
+            def cg_step(carry, _):
+                xs, rs, ps, rz = carry
+                Ap = mv(ps)
+                alpha = rz / (jnp.sum(ps * Ap, axis=(0, 1)) + 1e-20)
+                xs = xs + alpha * ps
+                rs = rs - alpha * Ap
+                zs = rs / prec_arr
+                rz_n = jnp.sum(rs * zs, axis=(0, 1))
+                beta = rz_n / (rz + 1e-20)
+                return (xs, rs, zs + beta * ps, rz_n), None
+
+            if _MOSAIC:
+                # Mosaic lowers only fori_loop-shaped loops (its scan rule
+                # rejects general carries); the kernel path is forward-only
+                # so losing scan's reverse-AD support costs nothing here.
+                xs, _, _, _ = jax.lax.fori_loop(
+                    0,
+                    self._rr_n_iter,
+                    lambda k, c: cg_step(c, None)[0],
+                    carry0,
+                )
+            else:
+                (xs, _, _, _), _ = jax.lax.scan(
+                    cg_step, carry0, None, length=self._rr_n_iter
+                )
+            return xs
 
         if _MOSAIC:
-            # Mosaic lowers only fori_loop-shaped loops (its scan rule
-            # rejects general carries); the kernel path is forward-only so
-            # losing scan's reverse-AD support costs nothing here.
-            xs, _, _, _ = jax.lax.fori_loop(
-                0,
-                self._rr_n_iter,
-                lambda k, c: cg_step(c, None)[0],
-                carry0,
-            )
+            xs = pcg_solve(matvec_arr, neg_b)
         else:
-            (xs, _, _, _), _ = jax.lax.scan(
-                cg_step, carry0, None, length=self._rr_n_iter
+            # Differentiate the solve implicitly: reverse-mode through the
+            # unrolled PCG amplifies the 1/prec Jacobi divisions (prec =
+            # reg = 1e-6 on inactive points) into NaN; custom_linear_solve
+            # transposes the SPD system with one more PCG instead of
+            # differentiating the iteration graph.
+            xs = jax.lax.custom_linear_solve(
+                matvec_arr, neg_b, pcg_solve, symmetric=True
             )
         x = unstack_cj(xs)
 

@@ -390,6 +390,55 @@ def test_diff_pallas_step_gradients_match_engine():
     assert float(jnp.abs(g_tau).max()) > 0.0
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("contact", ["relaxed_rigid", "rigid"])
+def test_diff_pallas_step_contact_rich_gradients(contact, prng_key):
+    """Contact-rich tier-2 differentiability: build_diff_pallas_step with
+    relaxed-rigid / rigid engines — interpret-mode Pallas forward, XLA
+    engine backward (whose iterative solves differentiate implicitly via
+    custom_linear_solve) — produces finite gradients matching the plain
+    engine's."""
+    import dataclasses as dc
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    urdf = models.build_garpez_urdf()
+    if contact == "relaxed_rigid":
+        eng = dc.replace(
+            BatchedEngine.build(_rr_model(urdf)), rr_iterations=6
+        )
+    else:
+        eng = dc.replace(
+            BatchedEngine.build(_rigid_model(urdf)), rigid_iterations=6
+        )
+    st = ps.tile_state(eng.init_state(1024, base_position=(0.0, 0.0, 0.015)))
+    st = dc.replace(
+        st,
+        q=jnp.broadcast_to(
+            jnp.array([0.995, 0.0998, 0.0, 0.0])[:, None, None], st.q.shape
+        ),
+    )
+    tau = 0.1 * jax.random.normal(prng_key, (eng.n_joints,) + st.p.shape[1:])
+    step = ps.build_diff_pallas_step(eng)
+
+    def loss_pallas(tau_):
+        new = step(st, tau_)
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    def loss_engine(tau_):
+        new = eng.step(st, tau_)
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_tau = jax.grad(loss_pallas)(tau)
+    rg_tau = jax.grad(loss_engine)(tau)
+    assert bool(jnp.all(jnp.isfinite(g_tau)))
+    assert_allclose(g_tau, rg_tau, rtol=1e-4, atol=1e-6, err_msg="grad tau")
+    assert float(jnp.abs(g_tau).max()) > 0.0
+
+
 @pytest.mark.tpu
 def test_fused_diff_pallas_step_backward_kernel_tpu():
     """build_fused_diff_pallas_step: BOTH forward and backward are Pallas
@@ -1161,6 +1210,34 @@ def test_engine_rigid_garpez_equivalence(integrator_name, prng_key):
     assert_allclose(
         data.joint_velocities, jnp.moveaxis(st.sd, -1, 0), rtol=1e-2, atol=1e-2
     )
+
+
+def test_engine_relaxed_rigid_step_gradient():
+    """Reverse-mode through the relaxed-rigid engine step is finite and
+    matches finite differences: the PCG is differentiated implicitly via
+    custom_linear_solve (unrolling its backward amplifies the Jacobi
+    1/prec divisions on inactive points into NaN)."""
+    import dataclasses as dc
+
+    model = _rr_model(models.build_garpez_urdf())
+    eng = dc.replace(BatchedEngine.build(model), rr_iterations=8)
+    st0 = eng.init_state(1, base_position=(0.0, 0.0, 0.015))
+    st0 = dc.replace(
+        st0,
+        q=jnp.array([0.995, 0.0998, 0.0, 0.0])[:, None]
+        * jnp.ones_like(st0.q),
+    )
+
+    def loss(kp):
+        st = st0
+        for _ in range(3):
+            st = eng.step(st, -kp * st.s - 0.1 * st.sd)
+        return jnp.sum(st.sd**2) + jnp.sum(st.p**2)
+
+    g = jax.jit(jax.grad(loss))(20.0)
+    assert np.isfinite(float(g))
+    fd = (loss(20.0 + 1e-2) - loss(20.0 - 1e-2)) / 2e-2
+    assert_allclose(g, fd, rtol=0.15, atol=1e-9)
 
 
 def test_engine_rigid_step_gradient(prng_key):

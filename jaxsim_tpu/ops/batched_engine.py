@@ -325,6 +325,11 @@ class BatchedEngine:
     # APGD iteration count (0 = auto: min(2·nC + 16, 48)).
     rigid_reg: float = 1e-6
     rigid_iterations: int = 0
+    # Neumann iteration count for the APGD fixed point's implicit VJP
+    # (0 = auto: max(64, 3·forward iterations)). The backward contraction
+    # is the UNaccelerated PGD map, so it needs more iterations than the
+    # FISTA forward to reach the same tolerance.
+    rigid_bwd_iterations: int = 0
 
     # Numeric model arrays, kept as nested tuples (hashable, numpy-convertible).
     _S: tuple = dataclasses.field(repr=False, default=())
@@ -888,36 +893,6 @@ class BatchedEngine:
             Lpb_l.append(Lpb)
             Rp_l.append(Rp)
 
-        def A_apply(y):
-            """A y = G y + (r + reg) y."""
-            f_loc = [None] * nL
-            for c in range(nC):
-                parent = self.contact_parent[c]
-                yc = jnp.stack([act_l[c] * y[c][j] for j in range(3)])
-                Rty = _rtv(Rp_l[c], yc)
-                f6 = jnp.concatenate([Rty, _cross(Lpb_l[c], Rty)])
-                f_loc[parent] = (
-                    f6 if f_loc[parent] is None else f_loc[parent] + f6
-                )
-            a_c, _ = self._minv_apply(fact, f_loc, bshape, pr)
-            out = []
-            for c in range(nC):
-                parent = self.contact_parent[c]
-                ac = a_c[parent]
-                acc = _rv(Rp_l[c], ac[0:3] + _cross(ac[3:6], Lpb_l[c]))
-                out.append(
-                    [
-                        act_l[c] * acc[j] + (rdiag_l[c][j] + reg) * y[c][j]
-                        for j in range(3)
-                    ]
-                )
-            return out
-
-        def dot(xs, ys):
-            return sum(
-                xs[c][j] * ys[c][j] for c in range(nC) for j in range(3)
-            )
-
         def stack_cj(lists):
             return jnp.stack(
                 [jnp.stack([lists[c][j] for j in range(3)]) for c in range(nC)]
@@ -926,6 +901,44 @@ class BatchedEngine:
         def unstack_cj(arr):
             return [[arr[c, j] for j in range(3)] for c in range(nC)]
 
+        # Everything the A-operator reads, as an explicit pytree so the
+        # implicit-differentiation custom_vjp below sees it as an input
+        # (closures over tracers would be invalid inside custom_vjp).
+        ops = dict(
+            act=list(act_l),
+            Rp=list(Rp_l),
+            Lpb=list(Lpb_l),
+            rdiag=[list(r) for r in rdiag_l],
+            fact=fact,
+            pr=pr,
+        )
+
+        def A_apply_ops(o, y):
+            """A y = G y + (r + reg) y, matrix-free from the ops pytree."""
+            f_loc = [None] * nL
+            for c in range(nC):
+                parent = self.contact_parent[c]
+                yc = jnp.stack([o["act"][c] * y[c][j] for j in range(3)])
+                Rty = _rtv(o["Rp"][c], yc)
+                f6 = jnp.concatenate([Rty, _cross(o["Lpb"][c], Rty)])
+                f_loc[parent] = (
+                    f6 if f_loc[parent] is None else f_loc[parent] + f6
+                )
+            a_c, _ = self._minv_apply(o["fact"], f_loc, bshape, o["pr"])
+            out = []
+            for c in range(nC):
+                parent = self.contact_parent[c]
+                ac = a_c[parent]
+                acc = _rv(o["Rp"][c], ac[0:3] + _cross(ac[3:6], o["Lpb"][c]))
+                out.append(
+                    [
+                        o["act"][c] * acc[j]
+                        + (o["rdiag"][c][j] + reg) * y[c][j]
+                        for j in range(3)
+                    ]
+                )
+            return out
+
         # Jacobi-preconditioned CG on A x = −b, fixed iteration count. The
         # loop body runs under fori_loop/scan so the (large) G-apply graph
         # is traced ONCE — unrolling it made XLA/Mosaic compiles
@@ -933,14 +946,11 @@ class BatchedEngine:
         neg_b = stack_cj(
             [[-b_l[c][j] for j in range(3)] for c in range(nC)]
         )
-        prec_arr = stack_cj(prec_l)
+        n_iter = self._rr_n_iter
 
-        def matvec_arr(y_arr):
-            return stack_cj(A_apply(unstack_cj(y_arr)))
-
-        def pcg_solve(mv, b_arr):
+        def pcg_run(b_arr, o, prec):
             r0 = b_arr
-            z0 = r0 / prec_arr
+            z0 = r0 / prec
             carry0 = (
                 jnp.zeros_like(b_arr),
                 r0,
@@ -950,42 +960,59 @@ class BatchedEngine:
 
             def cg_step(carry, _):
                 xs, rs, ps, rz = carry
-                Ap = mv(ps)
+                Ap = stack_cj(A_apply_ops(o, unstack_cj(ps)))
                 alpha = rz / (jnp.sum(ps * Ap, axis=(0, 1)) + 1e-20)
                 xs = xs + alpha * ps
                 rs = rs - alpha * Ap
-                zs = rs / prec_arr
+                zs = rs / prec
                 rz_n = jnp.sum(rs * zs, axis=(0, 1))
                 beta = rz_n / (rz + 1e-20)
                 return (xs, rs, zs + beta * ps, rz_n), None
 
             if _MOSAIC:
                 # Mosaic lowers only fori_loop-shaped loops (its scan rule
-                # rejects general carries); the kernel path is forward-only
-                # so losing scan's reverse-AD support costs nothing here.
+                # rejects general carries); reverse-AD of this loop is
+                # never requested — the custom_vjp below owns the backward.
                 xs, _, _, _ = jax.lax.fori_loop(
-                    0,
-                    self._rr_n_iter,
-                    lambda k, c: cg_step(c, None)[0],
-                    carry0,
+                    0, n_iter, lambda k, c: cg_step(c, None)[0], carry0
                 )
             else:
                 (xs, _, _, _), _ = jax.lax.scan(
-                    cg_step, carry0, None, length=self._rr_n_iter
+                    cg_step, carry0, None, length=n_iter
                 )
             return xs
 
-        if _MOSAIC:
-            xs = pcg_solve(matvec_arr, neg_b)
-        else:
-            # Differentiate the solve implicitly: reverse-mode through the
-            # unrolled PCG amplifies the 1/prec Jacobi divisions (prec =
-            # reg = 1e-6 on inactive points) into NaN; custom_linear_solve
-            # transposes the SPD system with one more PCG instead of
-            # differentiating the iteration graph.
-            xs = jax.lax.custom_linear_solve(
-                matvec_arr, neg_b, pcg_solve, symmetric=True
+        # Implicit differentiation of the solve (hand-written VJP, SURVEY
+        # §7 "reverse-mode AD through custom Pallas kernels"): reverse-mode
+        # through the unrolled PCG amplifies the 1/prec Jacobi divisions
+        # (prec = reg = 1e-6 on inactive points) into NaN, and Mosaic
+        # cannot lower a reversed loop at all. For x = A(θ)⁻¹ b the VJP is
+        # λ = A⁻¹ x̄ (one more PCG on the same SPD operator), b̄ = λ,
+        # θ̄ = ∂⟨−λ, A(θ) x⟩/∂θ (plain elementwise vjp) — every piece is a
+        # forward fori_loop or elementwise math, so jax.vjp of the step
+        # works both under XLA and when traced INSIDE a Pallas kernel.
+        @jax.custom_vjp
+        def pcg_implicit(b_arr, o, prec):
+            return pcg_run(b_arr, o, prec)
+
+        def pcg_fwd(b_arr, o, prec):
+            x_arr = pcg_run(b_arr, o, prec)
+            return x_arr, (x_arr, o, prec)
+
+        def pcg_bwd(res, x_bar):
+            x_arr, o, prec = res
+            lam = pcg_run(x_bar, o, prec)
+            _, vjp_ops = jax.vjp(
+                lambda oo: stack_cj(A_apply_ops(oo, unstack_cj(x_arr))), o
             )
+            (o_bar,) = vjp_ops(-lam)
+            # prec is a solver detail: at convergence it does not move the
+            # solution, so its implicit cotangent is zero.
+            return lam, o_bar, jnp.zeros_like(prec)
+
+        pcg_implicit.defvjp(pcg_fwd, pcg_bwd)
+
+        xs = pcg_implicit(neg_b, ops, stack_cj(prec_l))
         x = unstack_cj(xs)
 
         # World contact wrenches per link.
@@ -1023,6 +1050,26 @@ class BatchedEngine:
         if self.rigid_iterations:
             return int(self.rigid_iterations)
         return min(2 * self.n_points + 16, 48) if self.n_points else 0
+
+    @property
+    def _rigid_bwd_n_iter(self) -> int:
+        if self.rigid_bwd_iterations:
+            return int(self.rigid_bwd_iterations)
+        return max(64, 3 * self._rigid_n_iter)
+
+    def _rigid_geo_like(self, o):
+        """Rebuild the minimal per-point geometry list _delassus_apply
+        expects from an explicit ops pytree (custom_vjp functions may not
+        close over tracers, so the operator inputs travel as arguments)."""
+        return [
+            dict(
+                parent=self.contact_parent[c],
+                active=o["act"][c],
+                Rp=o["Rp"][c],
+                Lpb=o["Lpb"][c],
+            )
+            for c in range(self.n_points)
+        ]
 
     def _point_geometry(self, W_R, W_p, W_v, pr, bshape):
         """Per-point world position / velocity / penetration / activity and
@@ -1164,17 +1211,35 @@ class BatchedEngine:
                 xs[c][j] * ys[c][j] for c in range(nC) for j in range(3)
             )
 
-        A = lambda y: self._delassus_apply(fact, geo, y, bshape, pr, reg)
+        # Everything the solve reads, as an explicit pytree: the implicit
+        # custom_vjp below must take the operator inputs as ARGUMENTS (no
+        # closures over tracers inside custom_vjp functions).
+        ops = dict(
+            act=[geo[c]["active"] for c in range(nC)],
+            Rp=[geo[c]["Rp"] for c in range(nC)],
+            Lpb=[geo[c]["Lpb"] for c in range(nC)],
+            q=[list(q_l[c]) for c in range(nC)],
+            fact=fact,
+            pr=pr,
+        )
+
+        def A_ops(o, y):
+            return self._delassus_apply(
+                o["fact"], self._rigid_geo_like(o), y, bshape, o["pr"], reg
+            )
 
         # Lipschitz bound: power iteration on (G + reg I). Start from the
         # (deterministic) all-ones direction; 1.25 safety factor covers the
-        # from-below convergence of the estimate.
+        # from-below convergence of the estimate. stop_gradient: the exact
+        # fixed point is step-size independent (x = Π(x − γ∇) has the same
+        # solutions for every γ > 0), so L carries no implicit cotangent —
+        # and pruning it keeps the reversed power loop out of Mosaic.
         v0 = jnp.ones((nC, 3) + bshape)
         v0 = v0 / jnp.sqrt(jnp.asarray(3.0 * nC))
 
         def power_step(carry, _):
             v, lam = carry
-            Av = stack_cj(A(unstack_cj(v)))
+            Av = stack_cj(A_ops(ops, unstack_cj(v)))
             lam = jnp.sqrt(
                 jnp.maximum(jnp.sum(Av * Av, axis=(0, 1)), 1e-12)
             )
@@ -1188,7 +1253,7 @@ class BatchedEngine:
             (_, lam_max), _ = jax.lax.scan(
                 power_step, (v0, jnp.ones(bshape)), None, length=8
             )
-        L = 1.25 * lam_max + reg
+        L = jax.lax.stop_gradient(1.25 * lam_max + reg)
 
         # APGD / FISTA with fixed iteration count, warm-started from the
         # previous step's forces (carried in ``state.m``, which is unused
@@ -1207,36 +1272,96 @@ class BatchedEngine:
                 for c in range(nC)
             ]
         )
-        carry0 = (x0, x0, jnp.ones(bshape))
+        n_fwd, n_bwd = self._rigid_n_iter, self._rigid_bwd_n_iter
 
-        def apgd_step(carry, _):
-            xs, ys, t = carry
-            y_l = unstack_cj(ys)
-            grad = A(y_l)
-            x_n = []
+        def fista_run(x0_arr, o, Lc):
+            carry0 = (x0_arr, x0_arr, jnp.ones(bshape))
+
+            def apgd_step(carry, _):
+                xs_c, ys, t = carry
+                grad = A_ops(o, unstack_cj(ys))
+                x_n = []
+                for c in range(nC):
+                    p = [
+                        ys[c, j] - (grad[c][j] + o["q"][c][j]) / Lc
+                        for j in range(3)
+                    ]
+                    x_n.append(
+                        self._project_friction_cone(p, mu, o["act"][c])
+                    )
+                t_n = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+                beta = (t - 1.0) / t_n
+                xs_n = stack_cj(x_n)
+                ys_n = xs_n + beta * (xs_n - xs_c)
+                return (xs_n, ys_n, t_n), None
+
+            if _MOSAIC:
+                xs_c, _, _ = jax.lax.fori_loop(
+                    0, n_fwd, lambda k, c: apgd_step(c, None)[0], carry0
+                )
+            else:
+                (xs_c, _, _), _ = jax.lax.scan(
+                    apgd_step, carry0, None, length=n_fwd
+                )
+            return xs_c
+
+        def pgd_map(o, x_arr, Lc):
+            """One UNaccelerated projected-gradient step T(x) — the APGD
+            limit is a fixed point of T, which is what the implicit VJP
+            linearizes."""
+            Ax = A_ops(o, unstack_cj(x_arr))
+            out = []
             for c in range(nC):
-                g = geo[c]
                 p = [
-                    ys[c, j] - (grad[c][j] + q_l[c][j]) / L for j in range(3)
+                    x_arr[c, j] - (Ax[c][j] + o["q"][c][j]) / Lc
+                    for j in range(3)
                 ]
-                x_n.append(self._project_friction_cone(p, mu, g["active"]))
-            t_n = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
-            beta = (t - 1.0) / t_n
-            xs_n = stack_cj(x_n)
-            ys_n = xs_n + beta * (xs_n - xs)
-            return (xs_n, ys_n, t_n), None
+                out.append(self._project_friction_cone(p, mu, o["act"][c]))
+            return stack_cj(out)
 
-        if _MOSAIC:
-            xs, _, _ = jax.lax.fori_loop(
-                0,
-                self._rigid_n_iter,
-                lambda k, c: apgd_step(c, None)[0],
-                carry0,
-            )
-        else:
-            (xs, _, _), _ = jax.lax.scan(
-                apgd_step, carry0, None, length=self._rigid_n_iter
-            )
+        # Implicit differentiation of the cone-projected fixed point
+        # x* = T(x*, θ), T = Π_cone ∘ (I − (A(θ)· + q(θ))/L): the VJP is
+        # θ̄ = T_θᵀ λ with λ = (I − T_xᵀ)⁻¹ x̄ summed by the Neumann series
+        # λ ← x̄ + T_xᵀ λ (‖T_x‖ < 1 since Π is 1-Lipschitz and
+        # ‖I − A/L‖ < 1). Every piece is a forward loop + elementwise vjps
+        # of ONE application of T, so jax.vjp of the step traces under
+        # Mosaic inside the fused backward kernel (reversing the unrolled
+        # FISTA scan would both NaN — near-singular masked coordinates —
+        # and fail to lower). Warm start x0 and step size L are solver
+        # details of the converged fixed point: zero cotangents.
+        @jax.custom_vjp
+        def apgd_implicit(x0_arr, o, Lc):
+            return fista_run(x0_arr, o, Lc)
+
+        def apgd_fwd(x0_arr, o, Lc):
+            xs_c = fista_run(x0_arr, o, Lc)
+            return xs_c, (xs_c, o, Lc)
+
+        def apgd_bwd(res, x_bar):
+            xs_c, o, Lc = res
+            _, vjp_x = jax.vjp(lambda xx: pgd_map(o, xx, Lc), xs_c)
+
+            def neum_step(lam):
+                return x_bar + vjp_x(lam)[0]
+
+            if _MOSAIC:
+                lam = jax.lax.fori_loop(
+                    0, n_bwd, lambda k, l: neum_step(l), x_bar
+                )
+            else:
+                lam, _ = jax.lax.scan(
+                    lambda l, _: (neum_step(l), None),
+                    x_bar,
+                    None,
+                    length=n_bwd,
+                )
+            _, vjp_o = jax.vjp(lambda oo: pgd_map(oo, xs_c, Lc), o)
+            (o_bar,) = vjp_o(lam)
+            return jnp.zeros_like(xs_c), o_bar, jnp.zeros_like(Lc)
+
+        apgd_implicit.defvjp(apgd_fwd, apgd_bwd)
+
+        xs = apgd_implicit(x0, ops, L)
         x = unstack_cj(xs)
 
         f_links = [None] * nL
@@ -1300,14 +1425,29 @@ class BatchedEngine:
             ]
         )
 
-        def matvec(y_arr):
-            return stack_cj(
-                self._delassus_apply(fact, geo, unstack_cj(y_arr), bshape, pr, reg)
-            )
+        ops = dict(
+            act=[geo[c]["active"] for c in range(nC)],
+            Rp=[geo[c]["Rp"] for c in range(nC)],
+            Lpb=[geo[c]["Lpb"] for c in range(nC)],
+            fact=fact,
+            pr=pr,
+        )
 
         n_iter = min(self._rigid_n_iter, 24)
 
-        def cg_solve(mv, b):
+        def cg_run(b, o):
+            def mv(y_arr):
+                return stack_cj(
+                    self._delassus_apply(
+                        o["fact"],
+                        self._rigid_geo_like(o),
+                        unstack_cj(y_arr),
+                        bshape,
+                        o["pr"],
+                        reg,
+                    )
+                )
+
             carry0 = (jnp.zeros_like(b), b, b, jnp.sum(b * b, axis=(0, 1)))
 
             def cg_step(carry, _):
@@ -1330,19 +1470,44 @@ class BatchedEngine:
                 )
             return xs
 
-        if _MOSAIC:
-            # Kernel path is forward-only: run the CG directly (the
-            # custom_linear_solve primitive has no Mosaic lowering).
-            xs = cg_solve(matvec, b_arr)
-        else:
-            # Differentiate the projection implicitly: reverse-mode
-            # through an unrolled near-singular CG (the Delassus on the
-            # active set is rank-deficient, reg is tiny) explodes to NaN;
-            # custom_linear_solve transposes the SPD solve instead of the
-            # iteration graph.
-            xs = jax.lax.custom_linear_solve(
-                matvec, b_arr, cg_solve, symmetric=True
+        # Implicit differentiation (hand-written VJP, same pattern as the
+        # relaxed-rigid PCG): reverse-mode through an unrolled near-singular
+        # CG (the Delassus on the active set is rank-deficient, reg is
+        # tiny) explodes to NaN and Mosaic cannot reverse a loop at all.
+        # For x = A(θ)⁻¹ b: λ = A⁻¹ x̄ (one more CG on the same SPD
+        # operator), b̄ = λ, θ̄ = ∂⟨−λ, A(θ) x⟩/∂θ — forward loops and
+        # elementwise vjps only, so the fused Pallas backward kernel
+        # traces it for rigid engines too.
+        @jax.custom_vjp
+        def cg_implicit(b, o):
+            return cg_run(b, o)
+
+        def cg_fwd(b, o):
+            x_arr = cg_run(b, o)
+            return x_arr, (x_arr, o)
+
+        def cg_bwd(res, x_bar):
+            x_arr, o = res
+            lam_ = cg_run(x_bar, o)
+            _, vjp_o = jax.vjp(
+                lambda oo: stack_cj(
+                    self._delassus_apply(
+                        oo["fact"],
+                        self._rigid_geo_like(oo),
+                        unstack_cj(x_arr),
+                        bshape,
+                        oo["pr"],
+                        reg,
+                    )
+                ),
+                o,
             )
+            (o_bar,) = vjp_o(-lam_)
+            return lam_, o_bar
+
+        cg_implicit.defvjp(cg_fwd, cg_bwd)
+
+        xs = cg_implicit(b_arr, ops)
         lam = unstack_cj(xs)
 
         # Δν = −M⁻¹ Jlᵀ λ, applied via the same scatter + substitution.

@@ -440,6 +440,98 @@ def test_diff_pallas_step_contact_rich_gradients(contact, prng_key):
 
 
 @pytest.mark.tpu
+def test_fused_diff_pallas_step_relaxed_rigid_tpu():
+    """Fused BACKWARD kernel with relaxed-rigid contacts: the PCG's
+    hand-written implicit VJP (custom_vjp: one more in-kernel PCG on the
+    transposed SPD system + an elementwise operator vjp) lets jax.vjp of
+    the engine step trace INSIDE the Pallas kernel. Gradients match the
+    XLA engine's. TPU-only for the same compile-time reason as the soft
+    fused-backward test."""
+    import dataclasses as dc
+
+    from jaxsim_tpu.ops import pallas_step as ps
+    from jaxsim_tpu.ops.contacts.relaxed_rigid import RelaxedRigidContacts
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires TPU (interpret-mode compile is pathological)")
+
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_garpez_urdf(), contact_model=RelaxedRigidContacts()
+    )
+    eng = dc.replace(BatchedEngine.build(model), rr_iterations=8)
+    st = ps.tile_state(eng.init_state(1024, base_position=(0.0, 0.0, 0.015)))
+    st = dc.replace(
+        st,
+        q=jnp.broadcast_to(
+            jnp.array([0.995, 0.0998, 0.0, 0.0])[:, None, None], st.q.shape
+        ),
+    )
+    tau = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(5), (eng.n_joints,) + st.p.shape[1:]
+    )
+    fused = ps.build_fused_diff_pallas_step(eng)
+
+    def loss_fused(tau_):
+        new = fused(st, tau_)
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    def loss_engine(tau_):
+        new = eng.step(st, tau_)
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    g = jax.jit(jax.grad(loss_fused))(tau)
+    rg = jax.grad(loss_engine)(tau)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert_allclose(g, rg, rtol=1e-4, atol=1e-6, err_msg="grad tau")
+
+
+@pytest.mark.tpu
+def test_fused_diff_pallas_step_rigid_tpu():
+    """Fused BACKWARD kernel with rigid (QP) contacts: the APGD cone solve
+    carries an implicit VJP (Neumann series on the transposed
+    projected-gradient fixed point) and the impact projection's CG an
+    implicit SPD-transpose VJP, so jax.vjp of the engine step traces
+    INSIDE the Pallas kernel. Gradients match the XLA engine's. TPU-only
+    for the same compile-time reason as the soft fused-backward test."""
+    import dataclasses as dc
+
+    from jaxsim_tpu.ops import pallas_step as ps
+    from jaxsim_tpu.ops.contacts.rigid import RigidContacts
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires TPU (interpret-mode compile is pathological)")
+
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_garpez_urdf(), contact_model=RigidContacts()
+    )
+    eng = dc.replace(BatchedEngine.build(model), rigid_iterations=8)
+    st = ps.tile_state(eng.init_state(1024, base_position=(0.0, 0.0, 0.015)))
+    st = dc.replace(
+        st,
+        q=jnp.broadcast_to(
+            jnp.array([0.995, 0.0998, 0.0, 0.0])[:, None, None], st.q.shape
+        ),
+    )
+    tau = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(7), (eng.n_joints,) + st.p.shape[1:]
+    )
+    fused = ps.build_fused_diff_pallas_step(eng)
+
+    def loss_fused(tau_):
+        new = fused(st, tau_)
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    def loss_engine(tau_):
+        new = eng.step(st, tau_)
+        return jnp.sum(new.p[2]) + 0.1 * jnp.sum(new.sd**2)
+
+    g = jax.jit(jax.grad(loss_fused))(tau)
+    rg = jax.grad(loss_engine)(tau)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert_allclose(g, rg, rtol=1e-3, atol=1e-5, err_msg="grad tau")
+
+
+@pytest.mark.tpu
 def test_fused_diff_pallas_step_backward_kernel_tpu():
     """build_fused_diff_pallas_step: BOTH forward and backward are Pallas
     kernels (vjp traced inside the kernel body); gradients w.r.t. state and
@@ -1242,9 +1334,10 @@ def test_engine_relaxed_rigid_step_gradient():
 
 def test_engine_rigid_step_gradient(prng_key):
     """Reverse-mode through the rigid engine step (APGD forces + impact
-    projection) is finite and matches finite differences: the projection's
-    near-singular CG is differentiated implicitly via custom_linear_solve
-    (unrolling its backward explodes to NaN)."""
+    projection) is finite and matches finite differences: both solves are
+    differentiated implicitly via hand-written custom_vjps (Neumann series
+    on the APGD fixed point; SPD-transpose CG for the projection —
+    unrolling either backward explodes to NaN)."""
     import dataclasses as dc
 
     model = _rigid_model(models.build_garpez_urdf())

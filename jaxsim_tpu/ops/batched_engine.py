@@ -246,6 +246,61 @@ def _chol6_solve(M, b):
     return _chol6_substitute(_chol6_factor(M), b)
 
 
+def _choln_solve(M_ll, b_list, n):
+    """Hand-unrolled Cholesky solve of an SPD n×n system given as a
+    list-of-lists of batch-shaped entries and a list of batch-shaped rhs
+    components (n static, all ops element-wise over the batch — the same
+    Mosaic-safe pattern as :func:`_chol6_solve`, for the 6·nc weld-
+    constraint Delassus). Returns a list of n batch-shaped solutions."""
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        s = M_ll[i][i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv_d = 1.0 / L[i][i]
+        for j in range(i + 1, n):
+            s = M_ll[j][i]
+            for k in range(i):
+                s = s - L[j][k] * L[i][k]
+            L[j][i] = s * inv_d
+    y = [None] * n
+    for i in range(n):
+        s = b_list[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _rot_log_vee(R):
+    """SO(3) log map (3,*b) of a (3,3,*b) rotation, batched element-wise.
+
+    Exact form uses atan2; under Mosaic (whose elementwise set lacks
+    atan2/acos) a truncated series of θ/(2·sin θ) in u = 1 − cos θ is used
+    instead — relative error < 1e-4 for θ < 60°, far beyond any Baumgarte-
+    stabilized weld drift (constraints hold errors at ~1e-3 rad)."""
+    w0 = 0.5 * (R[2, 1] - R[1, 2])
+    w1 = 0.5 * (R[0, 2] - R[2, 0])
+    w2 = 0.5 * (R[1, 0] - R[0, 1])
+    c = jnp.clip(0.5 * (R[0, 0] + R[1, 1] + R[2, 2] - 1.0), -1.0, 1.0)
+    if _MOSAIC:
+        u = 1.0 - c
+        # θ/sin θ = 1 + u/3 + 2u²/15 + O(u³)  (u = 1 − cos θ).
+        factor = 1.0 + u * (1.0 / 3.0) + u * u * (2.0 / 15.0)
+    else:
+        s = jnp.sqrt(jnp.maximum(w0 * w0 + w1 * w1 + w2 * w2, 1e-24))
+        theta = jnp.arctan2(s, c)
+        factor = jnp.where(s < 1e-6, 1.0, theta / s)
+    return jnp.stack([factor * w0, factor * w1, factor * w2])
+
+
 def _skew3(a, bshape):
     """Skew matrix (3,3,*b) of a possibly-traced (3,) vector."""
     z = jnp.zeros(bshape) if bshape else jnp.asarray(0.0)
@@ -330,6 +385,16 @@ class BatchedEngine:
     # is the UNaccelerated PGD map, so it needs more iterations than the
     # FISTA forward to reach the same tolerance.
     rigid_bwd_iterations: int = 0
+    # Weld (frame-pair) kinematic constraints lowered from ConstraintMap
+    # (reference ``rbda/kinematic_constraints.py:19-345``): static parent
+    # link pairs and Baumgarte gains; the frame offsets live in params()
+    # as ``cH1``/``cH2``. The Delassus system is assembled matrix-free
+    # (6·nc M⁻¹ applications) and solved exactly with an unrolled
+    # Cholesky — see :meth:`constraint_wrenches`.
+    constraint_parents: tuple = ()  # ((P1, P2), ...) static link indices
+    constraint_kp: tuple = ()  # per-constraint static Baumgarte gains
+    constraint_kd: tuple = ()
+    constraint_reg: float = 1e-3
 
     # Numeric model arrays, kept as nested tuples (hashable, numpy-convertible).
     _S: tuple = dataclasses.field(repr=False, default=())
@@ -339,6 +404,8 @@ class BatchedEngine:
     _suc_H_i: tuple = dataclasses.field(repr=False, default=())
     _contact_point: tuple = dataclasses.field(repr=False, default=())
     _rr_Minv: tuple = dataclasses.field(repr=False, default=())
+    _constraint_H1: tuple = dataclasses.field(repr=False, default=())
+    _constraint_H2: tuple = dataclasses.field(repr=False, default=())
 
     @staticmethod
     def build(model) -> "BatchedEngine":
@@ -347,15 +414,41 @@ class BatchedEngine:
         from jaxsim_tpu.ops.contacts.soft import SoftContacts
         from jaxsim_tpu.terrain import FlatTerrain
 
-        # The fused hot path implements flat/inclined-plane terrain and
-        # all three contact models (soft / rigid QP / relaxed-rigid) with
-        # all three fixed-step integrators (SIE / RK4 / RK4-fast); other
-        # configurations use the generic js.model.step path.
-        if len(model.kin_dyn_parameters.constraints or ()) > 0:
-            raise ValueError(
-                "BatchedEngine does not implement kinematic (weld)"
-                " constraints; use the generic js.model.step path for"
-                " constrained models"
+        # The fused hot path implements flat/inclined-plane terrain, all
+        # three contact models (soft / rigid QP / relaxed-rigid), all
+        # three fixed-step integrators (SIE / RK4 / RK4-fast), and weld
+        # kinematic constraints; other configurations use the generic
+        # js.model.step path.
+        con = {}
+        kc = model.kin_dyn_parameters.constraints
+        if kc is not None and len(kc) > 0:
+            if any(t != 0 for t in kc.constraint_types):
+                raise ValueError(
+                    "BatchedEngine implements Weld constraints only"
+                )
+            nl_ = model.number_of_links()
+            fp = model.kin_dyn_parameters.frame_parameters
+            fp_body = np.asarray(fp.body)
+            fp_H = np.asarray(fp.transform)
+            parents, H1, H2 = [], [], []
+            for i in range(len(kc)):
+                k1 = kc.frame_idxs_1[i] - nl_
+                k2 = kc.frame_idxs_2[i] - nl_
+                if k1 < 0 or k2 < 0 or k1 >= len(fp_body) or k2 >= len(fp_body):
+                    raise ValueError(
+                        "weld constraint endpoints must be FRAME indices"
+                        f" (got {kc.frame_idxs_1[i]}, {kc.frame_idxs_2[i]};"
+                        f" frames start at {nl_})"
+                    )
+                parents.append((int(fp_body[k1]), int(fp_body[k2])))
+                H1.append(fp_H[k1])
+                H2.append(fp_H[k2])
+            con = dict(
+                constraint_parents=tuple(parents),
+                constraint_kp=tuple(float(x) for x in np.asarray(kc.K_P)),
+                constraint_kd=tuple(float(x) for x in np.asarray(kc.K_D)),
+                _constraint_H1=_freeze(np.stack(H1)),
+                _constraint_H2=_freeze(np.stack(H2)),
             )
         if not isinstance(model.terrain, FlatTerrain):
             raise ValueError(
@@ -429,6 +522,7 @@ class BatchedEngine:
             )
         return BatchedEngine(
             **rr,
+            **con,
             n_links=kdp.number_of_links(),
             n_joints=kdp.number_of_joints(),
             n_points=len(idx),
@@ -471,25 +565,48 @@ class BatchedEngine:
             axis=jnp.asarray(np.asarray(self._joint_axis), dtype=float),
             lamH=jnp.asarray(np.asarray(self._lambda_H_pre), dtype=float),
             sucH=jnp.asarray(np.asarray(self._suc_H_i), dtype=float),
+            # Contact-free models pad to one zero row (never read — the
+            # contact loops are empty) so every kernel input has a
+            # tileable nonzero block.
             cpoint=jnp.asarray(np.asarray(self._contact_point), dtype=float)
             if self.n_points
-            else jnp.zeros((0, 3)),
+            else jnp.zeros((1, 3)),
             **(
                 dict(rrMinv=jnp.asarray(np.asarray(self._rr_Minv), dtype=float))
                 if self.contact_model == "relaxed_rigid"
                 else {}
             ),
+            **(
+                dict(
+                    cH1=jnp.asarray(np.asarray(self._constraint_H1), dtype=float),
+                    cH2=jnp.asarray(np.asarray(self._constraint_H2), dtype=float),
+                )
+                if self.constraint_parents
+                else {}
+            ),
         )
+
+    @property
+    def n_constraints(self) -> int:
+        return len(self.constraint_parents)
+
+    @property
+    def m_rows(self) -> int:
+        """Leading size of the ``m`` state leaf: contact-free models carry
+        ONE inert zero row instead of an empty array — Mosaic/interpret
+        cannot tile a zero-size block, and the padding costs nothing
+        (every contact path is statically skipped when n_points == 0)."""
+        return max(self.n_points, 1)
 
     # ----- state conversion -----
 
     def state_from_data(self, data) -> BatchedState:
         """Batched JaxSimModelData (leading B) → BatchedState (trailing B)."""
         T = lambda a, k: jnp.moveaxis(jnp.asarray(a), 0, k)
-        m = data.contact_state.get("tangential_deformation")
-        if m is None:
-            m = jnp.zeros((data.joint_positions.shape[0], self.n_points, 3))
         B = data.base_position.shape[0]
+        m = data.contact_state.get("tangential_deformation")
+        if m is None or self.n_points == 0:
+            m = jnp.zeros((B, self.m_rows, 3))
         return BatchedState(
             s=T(data.joint_positions, -1).reshape(self.n_joints, B),
             sd=T(data.joint_velocities, -1).reshape(self.n_joints, B),
@@ -522,12 +639,15 @@ class BatchedEngine:
             )
         )(T(state.p), T(state.q), T(state.s), T(state.v), T(state.sd))
         # For rigid engines m carries the warm-start contact forces, which
-        # are internal solver state — not material deformation.
-        m_out = (
-            jnp.zeros_like(state.m)
-            if self.contact_model == "rigid"
-            else state.m
-        )
+        # are internal solver state — not material deformation. Contact-free
+        # engines carry one inert padding row (see m_rows) that the generic
+        # data must not see.
+        if self.n_points == 0:
+            m_out = jnp.zeros((0, 3) + state.m.shape[2:])
+        elif self.contact_model == "rigid":
+            m_out = jnp.zeros_like(state.m)
+        else:
+            m_out = state.m
         return dataclasses.replace(
             data,
             contact_state={"tangential_deformation": jnp.moveaxis(m_out, -1, 0)},
@@ -546,7 +666,7 @@ class BatchedEngine:
             p=p0,
             q=q0,
             v=jnp.zeros((6, B)),
-            m=jnp.zeros((self.n_points, 3, B)),
+            m=jnp.zeros((self.m_rows, 3, B)),
         )
 
     # ----- kinematics -----
@@ -779,6 +899,166 @@ class BatchedEngine:
             a[i] = a_i + jnp.stack([pr["S"][i][k] * sdd_i for k in range(6)])
         sdd_out = jnp.stack(sdd) if sdd else jnp.zeros((0,) + bshape)
         return a, sdd_out
+
+    # ----- weld kinematic constraints -----
+
+    def _constraint_frame_geo(self, c, W_R, W_p, W_v, pr, bshape):
+        """Per-frame world geometry of constraint ``c``: for each of the
+        two welded frames, ``(parent, Rp, Lpfb, RF, pF, pdF, omega)``."""
+        out = []
+        for P, key in zip(self.constraint_parents[c], ("cH1", "cH2")):
+            H = pr[key][c]
+            Rp, pp, vp = W_R[P], W_p[P], W_v[P]
+            Lpfb = _bvec(H[:3, 3], 3, bshape)
+            RF = _mm(Rp, _bmat(H[:3, :3], 3, 3, bshape), 3)
+            pF = _rv(Rp, Lpfb) + pp
+            omega = vp[3:6]
+            pdF = vp[0:3] + _cross(omega, pF)
+            out.append((P, Rp, Lpfb, RF, pF, pdF, omega))
+        return out
+
+    def constraint_wrenches(self, state, W_R, W_p, W_v, f_ext, tau, pr):
+        """Weld-constraint wrenches, trailing batch — the hot-path analog
+        of ``ops/kinematic_constraints.compute_constraint_wrenches``
+        (reference ``rbda/kinematic_constraints.py:19-345``): solve the
+        regularized 6·nc Delassus system
+        ``(J M⁻¹ Jᵀ + reg·I) x = −(Δa_F + K_D Δv_F + K_P e)`` in the
+        world-oriented frame-origin (mixed) basis and return a per-link
+        world 6D force list (torque about the world origin) to superpose
+        on ``f_ext``.
+
+        The Delassus matrix is assembled MATRIX-FREE — each of the 6·nc
+        columns is one O(n) articulated substitution pass
+        (:meth:`_minv_apply`) on a constraint-space basis wrench — then
+        solved exactly with an unrolled Cholesky: no iterative loop, so
+        plain reverse-mode AD works and Mosaic lowers it like any other
+        elementwise graph (no custom_vjp needed). Two deliberate
+        differences from the reference formulation: the rhs uses the TRUE
+        frame acceleration difference (including the J̇ν bias — the
+        textbook acceleration-level constraint; the reference's
+        ``J ν̇_free`` drops the bias and leans on Baumgarte), and the
+        rigid-contact impact projection does not see the weld (it acts on
+        the velocity level for one instant; Baumgarte reabsorbs the
+        residual)."""
+        ncon = self.n_constraints
+        nL = self.n_links
+        bshape = state.p.shape[1:]
+        N = 6 * ncon
+
+        # Free dynamics GIVEN contact/actuation forces — constraints react
+        # to them (generic-path ordering, ``api/ode.py:53-63``).
+        _, _, fact = self.aba(
+            state, W_R, W_p, W_v, f_ext, tau, pr, return_aux=True
+        )
+        a_free = fact["a"]
+
+        geo = [
+            self._constraint_frame_geo(c, W_R, W_p, W_v, pr, bshape)
+            for c in range(ncon)
+        ]
+
+        # rhs: true frame acceleration difference + Baumgarte. The shared
+        # gravity offset in a_free cancels in the F1 − F2 difference.
+        b = []
+        for c in range(ncon):
+            (P1, Rp1, L1, RF1, pF1, pd1, w1) = geo[c][0]
+            (P2, Rp2, L2, RF2, pF2, pd2, w2) = geo[c][1]
+            kp, kd = self.constraint_kp[c], self.constraint_kd[c]
+            acc = []
+            for P, Rp, L, pd, w in (
+                (P1, Rp1, L1, pd1, w1),
+                (P2, Rp2, L2, pd2, w2),
+            ):
+                af = a_free[P]
+                lin = _rv(Rp, af[0:3] + _cross(af[3:6], L)) + _cross(w, pd)
+                ang = _rv(Rp, af[3:6])
+                acc.append((lin, ang))
+            e_lin = pF1 - pF2
+            R_err = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            sum(RF2[k, i] * RF1[k, j] for k in range(3))
+                            for j in range(3)
+                        ]
+                    )
+                    for i in range(3)
+                ]
+            )
+            e_rot = _rot_log_vee(R_err)
+            dv_lin, dv_ang = pd1 - pd2, w1 - w2
+            da_lin = acc[0][0] - acc[1][0]
+            da_ang = acc[0][1] - acc[1][1]
+            for j in range(3):
+                b.append(da_lin[j] + kd * dv_lin[j] + kp * e_lin[j])
+            for j in range(3):
+                b.append(da_ang[j] + kd * dv_ang[j] + kp * e_rot[j])
+
+        # Assemble A = J M⁻¹ Jᵀ + reg·I column by column: basis wrench
+        # e_k → link-frame forces on the two parents (±) → M⁻¹ → frame
+        # acceleration readings. Rᵀe_j is just the j-th row of R, so the
+        # scatter needs no one-hot vectors.
+        A = [[None] * N for _ in range(N)]
+        for cc in range(ncon):
+            for jj in range(6):
+                f_loc = [None] * nL
+                for sign, (P, Rp, Lpfb, *_rest) in zip(
+                    (1.0, -1.0), geo[cc]
+                ):
+                    row = jj if jj < 3 else jj - 3
+                    Re = jnp.stack([Rp[row, 0], Rp[row, 1], Rp[row, 2]])
+                    if jj < 3:  # unit world force at the frame origin
+                        f6 = jnp.concatenate([Re, _cross(Lpfb, Re)])
+                    else:  # unit world moment
+                        f6 = jnp.concatenate([jnp.zeros_like(Re), Re])
+                    f6 = sign * f6
+                    f_loc[P] = f6 if f_loc[P] is None else f_loc[P] + f6
+                a_c, _ = self._minv_apply(fact, f_loc, bshape, pr)
+                col = []
+                for c2 in range(ncon):
+                    reads = []
+                    for P, Rp, Lpfb, *_rest in geo[c2]:
+                        ac = a_c[P]
+                        reads.append(
+                            (
+                                _rv(Rp, ac[0:3] + _cross(ac[3:6], Lpfb)),
+                                _rv(Rp, ac[3:6]),
+                            )
+                        )
+                    d_lin = reads[0][0] - reads[1][0]
+                    d_ang = reads[0][1] - reads[1][1]
+                    col.extend([d_lin[j] for j in range(3)])
+                    col.extend([d_ang[j] for j in range(3)])
+                k = 6 * cc + jj
+                for l in range(N):
+                    A[l][k] = col[l]
+        reg = self.constraint_reg
+        for k in range(N):
+            A[k][k] = A[k][k] + reg
+
+        x = _choln_solve(A, [-bi for bi in b], N)
+
+        # Equal/opposite world wrenches about the world origin.
+        f_out = [None] * nL
+        for c in range(ncon):
+            f = jnp.stack([x[6 * c + j] for j in range(3)])
+            m = jnp.stack([x[6 * c + 3 + j] for j in range(3)])
+            for sign, (P, _Rp, _L, _RF, pF, *_r) in zip((1.0, -1.0), geo[c]):
+                f6 = jnp.concatenate(
+                    [sign * f, sign * (_cross(pF, f) + m)]
+                )
+                f_out[P] = f6 if f_out[P] is None else f_out[P] + f6
+        return f_out
+
+    def _with_constraint_forces(self, state, W_R, W_p, W_v, f_links, tau, pr):
+        """``f_links`` plus the weld-constraint wrenches they induce."""
+        f_con = self.constraint_wrenches(
+            state, W_R, W_p, W_v, f_links, tau, pr
+        )
+        return [
+            a if b is None else (b if a is None else a + b)
+            for a, b in zip(f_links, f_con)
+        ]
 
     def relaxed_rigid_contact_forces(
         self, state: BatchedState, W_R, W_p, W_v, tau, pr=None,
@@ -1756,7 +2036,21 @@ class BatchedEngine:
         tau = tau if tau is not None else jnp.zeros((self.n_joints,) + bshape)
 
         W_R, W_p, W_v = self.fk(state, pr)
-        if frozen_contacts is not None:
+        if self.n_constraints > 0:
+            # Unified weld path: contact forces first, then the constraint
+            # solve reacting to them, then one coupled ABA (generic-path
+            # ordering, ``api/ode.py:41-77``).
+            if frozen_contacts is not None:
+                f_links, md = frozen_contacts
+            else:
+                f_links, md = self._contact_forces(
+                    state, W_R, W_p, W_v, tau, pr
+                )
+            f_tot = self._with_constraint_forces(
+                state, W_R, W_p, W_v, f_links, tau, pr
+            )
+            W_a, sdd = self.aba(state, W_R, W_p, W_v, f_tot, tau, pr)
+        elif frozen_contacts is not None:
             f_links, md = frozen_contacts
             W_a, sdd = self.aba(state, W_R, W_p, W_v, f_links, tau, pr)
         elif self.contact_model == "relaxed_rigid" and self.n_points > 0:
@@ -1825,7 +2119,13 @@ class BatchedEngine:
             return new
 
         W_R, W_p, W_v = self.fk(state, pr)
-        if self.contact_model == "relaxed_rigid" and self.n_points > 0:
+        if self.n_constraints > 0:
+            f_links, md = self._contact_forces(state, W_R, W_p, W_v, tau, pr)
+            f_tot = self._with_constraint_forces(
+                state, W_R, W_p, W_v, f_links, tau, pr
+            )
+            W_a, sdd = self.aba(state, W_R, W_p, W_v, f_tot, tau, pr)
+        elif self.contact_model == "relaxed_rigid" and self.n_points > 0:
             _, (W_a, sdd) = self.relaxed_rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr, return_accelerations=True
             )

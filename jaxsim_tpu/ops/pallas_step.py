@@ -43,7 +43,9 @@ def engine_param_order(engine: BatchedEngine) -> tuple[str, ...]:
     (relaxed-rigid engines carry the extra per-point inverse-mass blocks)."""
     base = ("S", "M", "axis", "lamH", "sucH", "cpoint")
     if engine.contact_model == "relaxed_rigid":
-        return base + ("rrMinv",)
+        base = base + ("rrMinv",)
+    if engine.constraint_parents:
+        base = base + ("cH1", "cH2")
     return base
 
 
@@ -82,7 +84,7 @@ def build_pallas_step(engine: BatchedEngine, policy=None, tile_sub: int | None =
     ``TILE_SUB``); larger tiles amortize per-tile overhead at the cost of
     VMEM — (32, 128) is ~25% faster than (8, 128) for the SIE humanoid."""
     policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
-    n, nC = engine.n_joints, engine.n_points
+    n, nC = engine.n_joints, engine.m_rows
     tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
 
     kernel = functools.partial(_step_kernel, engine, policy)
@@ -172,7 +174,7 @@ def build_pallas_step_tau(engine: BatchedEngine, tile_sub: int | None = None):
     :meth:`BatchedEngine.params` pytree) — the arrays are kernel INPUTS, so
     traced values (e.g. updated link inertias in a co-design loop) flow
     through without recompiling."""
-    n, nC = engine.n_joints, engine.n_points
+    n, nC = engine.n_joints, engine.m_rows
     tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
     kernel = functools.partial(_step_tau_kernel, engine)
 
@@ -287,7 +289,7 @@ def build_pallas_step_vjp(engine: BatchedEngine, tile_sub: int | None = None,
     :func:`build_pallas_step_tau`). With ``params_grad`` the return grows a
     third element: a dict of model-parameter cotangents (summed over the
     whole batch)."""
-    n, nC = engine.n_joints, engine.n_points
+    n, nC = engine.n_joints, engine.m_rows
     tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
     kernel = functools.partial(_step_vjp_kernel, engine, params_grad)
     param_order = engine_param_order(engine)
@@ -931,7 +933,7 @@ def build_pallas_env_rollout(
             "per_tile_weights requires linear_policy=True or mlp_policy"
         )
     reward = reward or _default_reward
-    n, nC = engine.n_joints, engine.n_points
+    n, nC = engine.n_joints, engine.m_rows
     z_lo, z_hi = float(healthy_z_range[0]), float(healthy_z_range[1])
     tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
 
@@ -1106,7 +1108,7 @@ def build_pallas_rollout(
     contact parameters, gravity, and link inertias — changing multipliers
     does not recompile."""
     policy = policy or (lambda st: -60.0 * st.s - 0.5 * st.sd)
-    n, nC = engine.n_joints, engine.n_points
+    n, nC = engine.n_joints, engine.m_rows
     tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
 
     kernel = functools.partial(_rollout_kernel, engine, policy, n_steps, domain)

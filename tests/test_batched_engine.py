@@ -172,15 +172,15 @@ def test_engine_rejects_unsupported_configs():
     )
     assert BatchedEngine.build(m2).contact_model == "rigid"
 
-    # Kinematic (weld) constraints are generic-path-only: silently dropping
-    # them on the fast path would simulate the wrong mechanism.
+    # Weld constraints ARE supported since the Delassus lowering — but the
+    # endpoints must be frame indices, not link indices.
     from jaxsim_tpu.api.kin_dyn_parameters import ConstraintMap
 
     m3 = js.JaxSimModel.build_from_model_description(
         models.build_garpez_urdf(),
         constraints=ConstraintMap().add_constraint(0, 1),
     )
-    with pytest.raises(ValueError, match="constraint"):
+    with pytest.raises(ValueError, match="[Ff]rame"):
         BatchedEngine.build(m3)
 
 
@@ -1387,4 +1387,123 @@ def test_pallas_rigid_interpret():
     for f in ["s", "sd", "p", "q", "v", "m"]:
         assert_allclose(
             getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )
+
+
+# ----- weld kinematic constraints on the hot path -----
+
+
+def _weld_model(time_step=5e-4):
+    from jaxsim_tpu.api.kin_dyn_parameters import ConstraintMap, ConstraintType
+    from tests.test_contacts_constraints import _four_bar_urdf
+
+    urdf = _four_bar_urdf()
+    model0 = js.JaxSimModel.build_from_model_description(urdf)
+    idx1 = js.frame.name_to_idx(model0, frame_name="tip_a")
+    idx2 = js.frame.name_to_idx(model0, frame_name="tip_b")
+    constraints = ConstraintMap().add_constraint(
+        idx1, idx2, ConstraintType.Weld, K_P=100.0
+    )
+    return js.JaxSimModel.build_from_model_description(
+        urdf, constraints=constraints, time_step=time_step
+    )
+
+
+def test_engine_weld_constraint_parallelogram():
+    """BatchedEngine lowers weld constraints (matrix-free Delassus assembly
+    + unrolled Cholesky): the four-bar tips stay coincident, both angles
+    move together, and the trajectory tracks the generic js.model.step
+    path. Tolerance is tier T widened one notch: the engine's rhs keeps
+    the J̇ν bias the reference formulation drops (see
+    BatchedEngine.constraint_wrenches), so transient constraint forces
+    differ by O(ω·v) while both hold the same manifold."""
+    model = _weld_model()
+    eng = BatchedEngine.build(model)
+    assert eng.n_constraints == 1
+
+    data = js.JaxSimModelData.build(model, joint_positions=jnp.array([0.4, 0.4]))
+    st = eng.state_from_data(jax.tree.map(lambda x: x[None], data))
+    tau_eng = jnp.array([1.0, 0.0])[:, None]
+    tau_gen = jnp.array([1.0, 0.0])
+
+    step_eng = jax.jit(lambda s: eng.step(s, tau_eng))
+    step_gen = jax.jit(
+        lambda d: js.model.step(model, d, joint_force_references=tau_gen)
+    )
+    for _ in range(400):
+        st = step_eng(st)
+        data = step_gen(data)
+
+    s = np.asarray(st.s[:, 0])
+    assert np.all(np.isfinite(s))
+    # The weld transmits the motion: both angles move together.
+    assert abs(s[0] - s[1]) < 5e-2, s
+    # The engine trajectory tracks the generic constrained path.
+    assert_allclose(s, data.joint_positions, atol=5e-3)
+    assert_allclose(st.sd[:, 0], data.joint_velocities, atol=5e-2)
+    # And the tip frames stay coincident (evaluated via the generic API).
+    data_eng = jax.tree.map(
+        lambda x: x[0], eng.data_from_state(model, st)
+    )
+    idx1 = js.frame.name_to_idx(model, frame_name="tip_a")
+    idx2 = js.frame.name_to_idx(model, frame_name="tip_b")
+    H1 = js.frame.transform(model, data_eng, frame_index=idx1)
+    H2 = js.frame.transform(model, data_eng, frame_index=idx2)
+    assert_allclose(H1[0:3, 3], H2[0:3, 3], atol=5e-3)
+
+
+def test_engine_weld_step_gradient():
+    """Reverse-mode through the constrained engine step is plain AD (the
+    dense unrolled-Cholesky constraint solve needs no custom_vjp) and
+    matches finite differences at tier A."""
+    model = _weld_model()
+    eng = BatchedEngine.build(model)
+    data = js.JaxSimModelData.build(model, joint_positions=jnp.array([0.3, 0.3]))
+    st0 = eng.state_from_data(jax.tree.map(lambda x: x[None], data))
+
+    def loss(tau0):
+        st = st0
+        tau = jnp.stack([tau0 * jnp.ones(1), jnp.zeros(1)])
+        for _ in range(3):
+            st = eng.step(st, tau)
+        # Velocity-only loss: the position term is ~constant over 3 steps
+        # at dt=5e-4 and its f32 rounding would drown the FD signal.
+        return jnp.sum(st.sd**2)
+
+    g = jax.jit(jax.grad(loss))(1.0)
+    assert np.isfinite(float(g))
+    # The loss is exactly quadratic in tau0 (linear dynamics response over
+    # the window), so a WIDE central difference is exact up to f32 noise.
+    eps = 0.5
+    fd = (loss(1.0 + eps) - loss(1.0 - eps)) / (2 * eps)
+    # Tier A (AD vs FD).
+    assert_allclose(g, fd, rtol=0.15, atol=1e-8)
+
+
+def test_pallas_step_weld_interpret():
+    """The fused Pallas step runs the weld-constraint Delassus assembly +
+    Cholesky solve in-kernel (interpret mode) and matches the XLA engine
+    step, exercising the Mosaic-safe series branch of the SO(3) log."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = _weld_model()
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024))
+    st = st.__class__(
+        s=0.4 * jnp.ones_like(st.s),
+        sd=jnp.zeros_like(st.sd),
+        p=st.p,
+        q=st.q,
+        v=st.v,
+        m=st.m,
+    )
+    policy = lambda s: jnp.stack([jnp.ones_like(s.s[0]), jnp.zeros_like(s.s[0])])
+    ref = eng.step(st, policy(st))
+    with pltpu.force_tpu_interpret_mode():
+        out = ps.build_pallas_step(eng, policy)(st)
+    for f in ["s", "sd", "p", "q", "v"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-4, atol=1e-5, err_msg=f
         )

@@ -356,6 +356,11 @@ class BatchedEngine:
     # The default (ẑ, 0) keeps the specialized flat-ground code path.
     terrain_normal: tuple = (0.0, 0.0, 1.0)
     terrain_offset: float = 0.0
+    # Terrain kind: "plane" (static normal/offset above) or "fourier"
+    # (spectral rough terrain — height and analytic normal are elementwise
+    # trig over the static spectrum in params()["terr"], so the fused
+    # kernel evaluates the terrain in-kernel; soft contacts only).
+    terrain_kind: str = "plane"
     # Fixed-step integrator: "sie" (semi-implicit Euler), "rk4", or
     # "rk4fast" (RK4 with contact forces frozen at t0) — mirrors the generic
     # api.integrators choices (reference ``api/integrators.py``).
@@ -406,6 +411,7 @@ class BatchedEngine:
     _rr_Minv: tuple = dataclasses.field(repr=False, default=())
     _constraint_H1: tuple = dataclasses.field(repr=False, default=())
     _constraint_H2: tuple = dataclasses.field(repr=False, default=())
+    _terrain_spec: tuple = dataclasses.field(repr=False, default=())
 
     @staticmethod
     def build(model) -> "BatchedEngine":
@@ -450,15 +456,36 @@ class BatchedEngine:
                 _constraint_H1=_freeze(np.stack(H1)),
                 _constraint_H2=_freeze(np.stack(H2)),
             )
-        if not isinstance(model.terrain, FlatTerrain):
-            raise ValueError(
-                "BatchedEngine supports flat/plane terrain; use the generic"
-                " js.model.step path for other terrains"
+        from jaxsim_tpu.terrain import FourierTerrain
+
+        terr = {}
+        t_normal = (0.0, 0.0, 1.0)
+        t_offset = 0.0
+        if isinstance(model.terrain, FourierTerrain):
+            if not isinstance(model.contact_model, SoftContacts):
+                raise ValueError(
+                    "BatchedEngine supports Fourier terrain with soft"
+                    " contacts; use the generic js.model.step path for"
+                    " rigid/relaxed-rigid contacts on rough terrain"
+                )
+            t_offset = float(model.terrain._h0)
+            terr = dict(
+                terrain_kind="fourier",
+                _terrain_spec=_freeze(model.terrain.spectrum()),
             )
-        t_normal = tuple(
-            float(x) for x in getattr(model.terrain, "_normal", (0.0, 0.0, 1.0))
-        )
-        t_offset = t_normal[2] * float(getattr(model.terrain, "_height", 0.0))
+        elif isinstance(model.terrain, FlatTerrain):
+            t_normal = tuple(
+                float(x)
+                for x in getattr(model.terrain, "_normal", (0.0, 0.0, 1.0))
+            )
+            t_offset = t_normal[2] * float(
+                getattr(model.terrain, "_height", 0.0)
+            )
+        else:
+            raise ValueError(
+                "BatchedEngine supports flat/plane/Fourier terrain; use the"
+                " generic js.model.step path for other terrains"
+            )
         rr = {}
         if isinstance(model.contact_model, RigidContacts):
             rr = dict(
@@ -523,6 +550,7 @@ class BatchedEngine:
         return BatchedEngine(
             **rr,
             **con,
+            **terr,
             n_links=kdp.number_of_links(),
             n_joints=kdp.number_of_joints(),
             n_points=len(idx),
@@ -582,6 +610,13 @@ class BatchedEngine:
                     cH2=jnp.asarray(np.asarray(self._constraint_H2), dtype=float),
                 )
                 if self.constraint_parents
+                else {}
+            ),
+            **(
+                dict(
+                    terr=jnp.asarray(np.asarray(self._terrain_spec), dtype=float)
+                )
+                if self.terrain_kind == "fourier"
                 else {}
             ),
         )
@@ -751,6 +786,30 @@ class BatchedEngine:
 
     # ----- contacts -----
 
+    def _fourier_height_grad(self, pr, x, y):
+        """Height h(x, y) and gradient (∂h/∂x, ∂h/∂y) of the spectral
+        terrain, element-wise over the batch (the static component count
+        unrolls — sin/cos on the VPU, no gathers, so this evaluates
+        inside the fused kernel). Optional per-env ``pr["terrOff"]``
+        ((2,) or (2, *b)) translates each env's terrain query — per-env
+        rough-terrain domain randomization at the cost of two subtracts."""
+        T = pr["terr"]
+        K = int(T.shape[1])
+        if "terrOff" in pr:
+            x = x - pr["terrOff"][0]
+            y = y - pr["terrOff"][1]
+        h = jnp.zeros_like(x)
+        dhx = jnp.zeros_like(x)
+        dhy = jnp.zeros_like(x)
+        for k in range(K):
+            a, kx, ky, ph = T[0, k], T[1, k], T[2, k], T[3, k]
+            arg = kx * x + ky * y + ph
+            h = h + a * jnp.sin(arg)
+            c_ = a * jnp.cos(arg)
+            dhx = dhx + kx * c_
+            dhy = dhy + ky * c_
+        return self.terrain_offset + h, dhx, dhy
+
     def soft_contact_forces(self, W_R, W_p, W_v, m, pr=None):
         """Hunt/Crossley per point; per-link 6D inertial forces (list of
         (6,*b) or None) and ṁ (nC,3,*b). Plane terrain with static normal
@@ -768,7 +827,10 @@ class BatchedEngine:
         eps = jnp.finfo(jnp.float32).eps
         ax, ay, az = self.terrain_normal
         off = self.terrain_offset
-        flat = (ax, ay, az) == (0.0, 0.0, 1.0) and off == 0.0
+        fourier = self.terrain_kind == "fourier"
+        flat = (
+            (ax, ay, az) == (0.0, 0.0, 1.0) and off == 0.0 and not fourier
+        )
         K = self.K * pr["Kmul"] if "Kmul" in pr else self.K
         D = self.D * pr["Dmul"] if "Dmul" in pr else self.D
         mu = self.mu * pr["mumul"] if "mumul" in pr else self.mu
@@ -785,11 +847,25 @@ class BatchedEngine:
             if flat:
                 delta = jnp.maximum(0.0, -pc[2])
                 delta_dot = jnp.where(delta > 0, -pd[2], 0.0)
+            elif fourier:
+                # Rough terrain: analytic height/normal from the spectrum
+                # (per-point, per-env batch-shaped normals; mirrors
+                # compute_penetration_data's δ = (h − z)·n̂_z).
+                h, dhx, dhy = self._fourier_height_grad(pr, pc[0], pc[1])
+                inv_n = 1.0 / jnp.sqrt(dhx * dhx + dhy * dhy + 1.0)
+                axc, ayc, azc = -dhx * inv_n, -dhy * inv_n, inv_n
+                ndotv = axc * pd[0] + ayc * pd[1] + azc * pd[2]
+                delta = jnp.maximum(0.0, (h - pc[2]) * azc)
+                delta_dot = jnp.where(delta > 0, -ndotv, 0.0)
             else:
                 ndotp = ax * pc[0] + ay * pc[1] + az * pc[2]
                 ndotv = ax * pd[0] + ay * pd[1] + az * pd[2]
                 delta = jnp.maximum(0.0, off - ndotp)
                 delta_dot = jnp.where(delta > 0, -ndotv, 0.0)
+            if fourier:
+                nax, nay, naz = axc, ayc, azc
+            else:
+                nax, nay, naz = ax, ay, az
 
             dp = jnp.power(delta + eps, self.hc_p)
             dq = jnp.power(delta + eps, self.hc_q)
@@ -803,10 +879,14 @@ class BatchedEngine:
                 m_t = jnp.stack([mc[0], mc[1], zb])
             else:
                 v_t = jnp.stack(
-                    [pd[0] - ndotv * ax, pd[1] - ndotv * ay, pd[2] - ndotv * az]
+                    [
+                        pd[0] - ndotv * nax,
+                        pd[1] - ndotv * nay,
+                        pd[2] - ndotv * naz,
+                    ]
                 )
-                mdotn = ax * mc[0] + ay * mc[1] + az * mc[2]
-                m_n = jnp.stack([mdotn * ax, mdotn * ay, mdotn * az])
+                mdotn = nax * mc[0] + nay * mc[1] + naz * mc[2]
+                m_n = jnp.stack([mdotn * nax, mdotn * nay, mdotn * naz])
                 m_t = mc - m_n
 
             f_t = -((K * dp) * m_t + (D * dq) * v_t)
@@ -833,9 +913,9 @@ class BatchedEngine:
             else:
                 f_lin = jnp.stack(
                     [
-                        f_t[0] + fn_mag * ax,
-                        f_t[1] + fn_mag * ay,
-                        f_t[2] + fn_mag * az,
+                        f_t[0] + fn_mag * nax,
+                        f_t[1] + fn_mag * nay,
+                        f_t[2] + fn_mag * naz,
                     ]
                 )
             f6 = jnp.concatenate([f_lin, _cross(pc, f_lin)])

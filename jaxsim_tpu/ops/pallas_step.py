@@ -46,6 +46,8 @@ def engine_param_order(engine: BatchedEngine) -> tuple[str, ...]:
         base = base + ("rrMinv",)
     if engine.constraint_parents:
         base = base + ("cH1", "cH2")
+    if engine.terrain_kind == "fourier":
+        base = base + ("terr",)
     return base
 
 

@@ -1,1 +1,7 @@
-from .terrain import FlatTerrain, HeightmapTerrain, PlaneTerrain, Terrain
+from .terrain import (
+    FlatTerrain,
+    FourierTerrain,
+    HeightmapTerrain,
+    PlaneTerrain,
+    Terrain,
+)

@@ -90,6 +90,98 @@ class PlaneTerrain(FlatTerrain):
 
 
 @dataclasses.dataclass(frozen=True)
+class FourierTerrain(Terrain):
+    """Spectral rough terrain: ``h(x, y) = h0 + Σ_k A_k sin(kx_k x + ky_k y
+    + φ_k)``.
+
+    Beyond the reference core (no rough-terrain support outside MuJoCo
+    hfields): a procedurally generated, infinitely extended, C∞ rough
+    terrain whose height AND analytic normal are pure elementwise trig —
+    no grid, no gathers — so it lowers inside the fused Pallas step kernel
+    (Mosaic has no gather/dynamic_slice; a grid heightmap cannot run
+    in-kernel) and differentiates exactly. The spectrum is a hashable
+    static payload participating in the JIT cache key."""
+
+    _h0: float = 0.0
+    _amp: tuple = ()
+    _kx: tuple = ()
+    _ky: tuple = ()
+    _phase: tuple = ()
+
+    @staticmethod
+    def build(
+        *,
+        seed: int = 0,
+        num_components: int = 8,
+        amplitude: float = 0.04,
+        wavelength: float = 1.0,
+        height: float = 0.0,
+        spectrum=None,
+    ) -> "FourierTerrain":
+        """Random isotropic spectrum: directions uniform on the circle,
+        wavenumbers log-uniform in [2π/λ, 3·2π/λ], amplitudes ∝ 1/k
+        normalized so the height RMS is ``amplitude``. Pass ``spectrum =
+        (amp, kx, ky, phase)`` arrays to use an explicit spectrum."""
+        if spectrum is not None:
+            amp, kx, ky, phase = (np.asarray(a, dtype=float) for a in spectrum)
+        else:
+            rng = np.random.default_rng(seed)
+            th = rng.uniform(0.0, 2 * np.pi, num_components)
+            k0 = 2 * np.pi / wavelength
+            k = np.exp(rng.uniform(np.log(k0), np.log(3 * k0), num_components))
+            amp = 1.0 / k
+            # RMS of Σ A_k sin(·) with independent phases is √(Σ A_k²/2).
+            amp = amp * (amplitude / np.sqrt(np.sum(amp**2) / 2.0))
+            kx, ky = k * np.cos(th), k * np.sin(th)
+            phase = rng.uniform(0.0, 2 * np.pi, num_components)
+        return FourierTerrain(
+            _h0=float(height),
+            _amp=tuple(amp.tolist()),
+            _kx=tuple(kx.tolist()),
+            _ky=tuple(ky.tolist()),
+            _phase=tuple(phase.tolist()),
+        )
+
+    def spectrum(self) -> np.ndarray:
+        """(4, K) static spectrum rows ``amp, kx, ky, phase``."""
+        return np.stack(
+            [
+                np.asarray(self._amp),
+                np.asarray(self._kx),
+                np.asarray(self._ky),
+                np.asarray(self._phase),
+            ]
+        )
+
+    def height(self, x: jtp.FloatLike, y: jtp.FloatLike) -> jtp.Float:
+        x = jnp.asarray(x, dtype=float)
+        y = jnp.asarray(y, dtype=float)
+        amp = jnp.asarray(self._amp)
+        arg = (
+            x[..., None] * jnp.asarray(self._kx)
+            + y[..., None] * jnp.asarray(self._ky)
+            + jnp.asarray(self._phase)
+        )
+        return self._h0 + jnp.sum(amp * jnp.sin(arg), axis=-1)
+
+    def normal(self, x: jtp.FloatLike, y: jtp.FloatLike) -> jtp.Vector:
+        """Analytic outward unit normal (exact gradient, no finite
+        differences — keeps the generic path bit-identical to the fused
+        kernel's in-kernel terrain)."""
+        x = jnp.asarray(x, dtype=float)
+        y = jnp.asarray(y, dtype=float)
+        amp = jnp.asarray(self._amp)
+        kx = jnp.asarray(self._kx)
+        ky = jnp.asarray(self._ky)
+        arg = x[..., None] * kx + y[..., None] * ky + jnp.asarray(self._phase)
+        c = jnp.cos(arg)
+        dhdx = jnp.sum(amp * kx * c, axis=-1)
+        dhdy = jnp.sum(amp * ky * c, axis=-1)
+        n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
+@dataclasses.dataclass(frozen=True)
 class HeightmapTerrain(Terrain):
     """Grid heightmap with bilinear interpolation.
 

@@ -1507,3 +1507,98 @@ def test_pallas_step_weld_interpret():
         assert_allclose(
             getattr(out, f), getattr(ref, f), rtol=1e-4, atol=1e-5, err_msg=f
         )
+
+
+# ----- spectral (Fourier) rough terrain on the hot path -----
+
+
+def _fourier_model():
+    from jaxsim_tpu.terrain import FourierTerrain
+
+    terr = FourierTerrain.build(
+        seed=3, num_components=6, amplitude=0.03, wavelength=0.8
+    )
+    return (
+        js.JaxSimModel.build_from_model_description(
+            models.build_garpez_urdf(), terrain=terr
+        ),
+        terr,
+    )
+
+
+def test_engine_fourier_terrain_equivalence():
+    """BatchedEngine on FourierTerrain (per-point per-env analytic
+    normals) matches the generic js.model.step path — the engine's
+    in-loop spectrum evaluation is the same math as
+    FourierTerrain.height/normal."""
+    model, terr = _fourier_model()
+    eng = BatchedEngine.build(model)
+    assert eng.terrain_kind == "fourier"
+
+    h0 = float(terr.height(jnp.array(0.0), jnp.array(0.0)))
+    data = js.JaxSimModelData.build(
+        model,
+        base_position=jnp.array([0.0, 0.0, h0 + 0.31]),
+        base_quaternion=jnp.array([0.995, 0.0998, 0.0, 0.0]),
+    )
+    st = eng.state_from_data(jax.tree.map(lambda a: a[None], data))
+    step_g = jax.jit(lambda d: js.model.step(model, d))
+    step_e = jax.jit(lambda s: eng.step(s))
+    for _ in range(150):
+        data = step_g(data)
+        st = step_e(st)
+    # Tier T (trajectories).
+    assert_allclose(st.p[:, 0], data.base_position, atol=1e-4)
+    assert_allclose(st.s[:, 0], data.joint_positions, atol=1e-4)
+    assert_allclose(st.v[:, 0], jnp.concatenate([
+        data.base_linear_velocity_inertial, data.base_angular_velocity_inertial
+    ]), atol=1e-3)
+
+
+def test_engine_fourier_terrain_per_env_offset():
+    """pr["terrOff"] translates each env's terrain query independently —
+    per-env rough-terrain domain randomization. A shifted env must settle
+    at the height of the SHIFTED terrain location."""
+    model, terr = _fourier_model()
+    eng = BatchedEngine.build(model)
+    B = 4
+    st = eng.init_state(B, base_position=(0.0, 0.0, 0.4))
+    pr = eng.params()
+    off = jnp.stack([jnp.array([0.0, 1.3, -2.0, 0.7]), jnp.array([0.0, -0.4, 2.2, -1.1])])
+    pr2 = {**pr, "terrOff": off}
+    step = jax.jit(lambda s: eng.step(s, None, pr2))
+    for _ in range(500):
+        st = step(st)
+    z = np.asarray(st.p[2])
+    assert np.all(np.isfinite(z))
+    # Each env settles near ITS shifted terrain height under the base.
+    for b in range(B):
+        hxy = float(
+            terr.height(
+                jnp.array(float(st.p[0, b]) - float(off[0, b])),
+                jnp.array(float(st.p[1, b]) - float(off[1, b])),
+            )
+        )
+        assert abs(z[b] - hxy) < 0.12, (b, z[b], hxy)
+    # Different offsets → different terrain → distinct settled states.
+    assert np.std(z) > 1e-4
+
+
+def test_pallas_step_fourier_interpret():
+    """The fused Pallas step evaluates the terrain spectrum in-kernel
+    (interpret mode) and matches the XLA engine step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model, _ = _fourier_model()
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024, base_position=(0.0, 0.0, 0.28)))
+    policy = lambda s: -5.0 * s.s - 0.1 * s.sd
+    ref = eng.step(st, policy(st))
+    with pltpu.force_tpu_interpret_mode():
+        out = ps.build_pallas_step(eng, policy)(st)
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )

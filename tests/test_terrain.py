@@ -63,3 +63,56 @@ def test_box_settles_on_heightmap():
     out = run(data)
     z = float(out.base_position[2])
     assert 0.24 < z < 0.26, z  # plateau + half box height - penetration
+
+
+def test_fourier_terrain_height_normal():
+    """FourierTerrain (beyond-reference): analytic normal matches the
+    finite-difference normal of the height field; the spectrum RMS
+    matches the requested amplitude; the terrain is hashable/static."""
+    from jaxsim_tpu.terrain import FourierTerrain
+
+    t = FourierTerrain.build(seed=7, num_components=8, amplitude=0.05)
+    x = jnp.array([0.3, -1.2, 4.0])
+    y = jnp.array([0.5, 2.0, -3.3])
+    n = t.normal(x, y)
+    d = 1e-4
+    dhdx = (t.height(x + d, y) - t.height(x - d, y)) / (2 * d)
+    dhdy = (t.height(x, y + d) - t.height(x, y - d)) / (2 * d)
+    nfd = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], -1)
+    nfd = nfd / jnp.linalg.norm(nfd, axis=-1, keepdims=True)
+    assert_allclose(n, nfd, atol=5e-4)
+    assert np.linalg.norm(np.asarray(n), axis=-1).max() < 1 + 1e-5
+
+    # RMS over a wide sample ≈ amplitude (independent random phases).
+    xs = jnp.linspace(-20, 20, 300)
+    hs = t.height(xs[:, None] * jnp.ones(300), xs[None, :] * jnp.ones((300, 1)))
+    rms = float(jnp.sqrt(jnp.mean((hs - jnp.mean(hs)) ** 2)))
+    assert 0.02 < rms < 0.09, rms
+    # Hashable static payload (participates in the JIT cache key).
+    assert hash(t) == hash(FourierTerrain.build(seed=7, num_components=8, amplitude=0.05))
+
+
+def test_fourier_terrain_generic_settling():
+    """A sphere dropped on the spectral terrain settles at the local
+    terrain height (generic js.model.step path)."""
+    from jaxsim_tpu.terrain import FourierTerrain
+
+    t = FourierTerrain.build(seed=3, num_components=6, amplitude=0.03, wavelength=0.8)
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_sphere_urdf(), terrain=t
+    )
+    h0 = float(t.height(jnp.array(0.0), jnp.array(0.0)))
+    data = js.JaxSimModelData.build(
+        model, base_position=jnp.array([0.0, 0.0, h0 + 0.2])
+    )
+    step = jax.jit(lambda d: js.model.step(model, d))
+    for _ in range(600):
+        data = step(data)
+    # The sphere rests ON the rough surface (it may still creep along a
+    # slope): its lowest collidable point sits at the local terrain
+    # height, within Hunt/Crossley penetration, and nothing tunneled.
+    pts = np.asarray(js.contact.collidable_point_positions(model, data))
+    gap = pts[:, 2] - np.asarray(t.height(pts[:, 0], pts[:, 1]))
+    assert gap.min() > -0.02, gap.min()  # no tunneling
+    assert gap.min() < 0.01, gap.min()  # touching, not floating
+    assert np.all(np.isfinite(np.asarray(data.base_position)))

@@ -47,7 +47,7 @@ _FUSED_EVAL_CACHE: dict = {}
 
 def _build_fused_eval(
     env: "BatchedEnv", n_steps: int, policy, linear: bool, mlp_hidden,
-    domain: bool
+    domain: bool, terr_off: bool = False,
 ):
     """Cache the built (and jitted) eval-rollout per (env, horizon, policy)
     so repeated fused_eval_rollout calls reuse the compiled kernel. Policy /
@@ -66,6 +66,7 @@ def _build_fused_eval(
         linear,
         mlp_hidden,
         domain,
+        terr_off,
     )
     fn = _FUSED_EVAL_CACHE.get(key)
     if fn is None:
@@ -80,6 +81,7 @@ def _build_fused_eval(
                 linear_policy=linear,
                 mlp_policy=mlp_hidden,
                 domain=domain,
+                terr_off=terr_off,
             )
         )
         if len(_FUSED_EVAL_CACHE) >= 32:
@@ -228,7 +230,10 @@ class BatchedEnv:
         ``domain``: optional dict of per-env multipliers, each shape
         ``(batch_size,)``, for call-time domain randomization: contact
         ``Kmul``/``Dmul``/``mumul`` plus dynamics ``gmul`` (gravity) and
-        ``Mmul`` (uniform link-inertia/density scale).
+        ``Mmul`` (uniform link-inertia/density scale). With a
+        ``FourierTerrain`` engine, ``terrOff`` of shape ``(2, batch_size)``
+        additionally translates each env's terrain query — per-env
+        rough-terrain randomization evaluated in-kernel.
 
         Auto-reset respawns at the episode-start state without reset noise.
         Returns ``(final_sim, reward_sum (B,), resets (B,))``.
@@ -245,14 +250,27 @@ class BatchedEnv:
                 " mlp_weights"
             )
         dkw = {}
+        terr_off = False
         if domain is not None:
-            bad = set(domain) - {"Kmul", "Dmul", "mumul", "gmul", "Mmul"}
+            bad = set(domain) - {
+                "Kmul", "Dmul", "mumul", "gmul", "Mmul", "terrOff"
+            }
             if bad:
                 raise ValueError(f"unknown domain multipliers: {sorted(bad)}")
+            domain = dict(domain)
+            off = domain.pop("terrOff", None)
             dkw = {
                 k: jnp.asarray(v, dtype=jnp.float32).reshape(-1, ps.TILE_LANE)
                 for k, v in domain.items()
             }
+            if off is not None:
+                # (2, B) per-env terrain translation (FourierTerrain
+                # engines): every env gets its own rough-terrain patch.
+                terr_off = True
+                dkw["terrOff"] = jnp.asarray(
+                    off, dtype=jnp.float32
+                ).reshape(2, -1, ps.TILE_LANE)
+            domain = domain or None
         sim = self._fresh_sim(batch_size, key)
         mlp_hidden = (
             int(jnp.asarray(mlp_weights[0]).shape[0])
@@ -261,7 +279,7 @@ class BatchedEnv:
         )
         run = _build_fused_eval(
             self, n_steps, policy, W is not None, mlp_hidden,
-            domain is not None,
+            domain is not None, terr_off,
         )
         if W is not None:
             b = b if b is not None else jnp.zeros((self.engine.n_joints, 1))

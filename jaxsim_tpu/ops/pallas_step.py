@@ -630,7 +630,7 @@ def untile_state(state: BatchedState) -> BatchedState:
 
 
 def _rollout_kernel(engine: BatchedEngine, policy, n_steps: int,
-                    domain: bool, *refs):
+                    domain: bool, terr_off: bool, *refs):
     """Whole rollout in one kernel: the env-tile state lives in registers/VMEM
     across all ``n_steps`` — no HBM round-trips or kernel launches per step.
 
@@ -647,6 +647,9 @@ def _rollout_kernel(engine: BatchedEngine, policy, n_steps: int,
             refs[k + 4][:],
         )
         k += 5
+    if terr_off:
+        pr["terrOff"] = refs[k][:]
+        k += 1
     (s_out, sd_out, p_out, q_out, v_out, m_out) = refs[k:k + 6]
     state0 = (s_ref[:], sd_ref[:], p_ref[:], q_ref[:], v_ref[:], m_ref[:])
 
@@ -741,7 +744,7 @@ def _mlp_policy_tau(st: BatchedState, getW1, getb1, getW2, getb2,
 def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
                         episode_length: int, z_lo: float, z_hi: float,
                         linear_policy: bool, mlp_hidden, domain: bool,
-                        tau_limit, reset_noise: float,
+                        terr_off: bool, tau_limit, reset_noise: float,
                         *refs):
     """RL evaluation rollout in one kernel: step + termination/truncation +
     auto-reset to the episode-start state, with per-env reward accumulation.
@@ -763,6 +766,9 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
             refs[k + 4][:],
         )
         k += 5
+    if terr_off:
+        pr["terrOff"] = refs[k][:]
+        k += 1
     if linear_policy:
         n = s_ref.shape[0]
         W_ref, b_ref = refs[k], refs[k + 1]
@@ -883,6 +889,7 @@ def build_pallas_env_rollout(
     linear_policy: bool = False,
     mlp_policy: int | None = None,
     domain: bool = False,
+    terr_off: bool = False,
     per_tile_weights: bool = False,
     tau_limit: float | None = None,
     reset_noise: float = 0.0,
@@ -939,10 +946,12 @@ def build_pallas_env_rollout(
     z_lo, z_hi = float(healthy_z_range[0]), float(healthy_z_range[1])
     tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
 
+    if terr_off and engine.terrain_kind != "fourier":
+        raise ValueError("terr_off requires a FourierTerrain engine")
     kernel = functools.partial(
         _env_rollout_kernel, engine, policy, reward, n_steps,
         int(episode_length), z_lo, z_hi, linear_policy,
-        int(mlp_policy) if mlp_policy else None, domain,
+        int(mlp_policy) if mlp_policy else None, domain, terr_off,
         float(tau_limit) if tau_limit is not None else None,
         float(reset_noise),
     )
@@ -950,7 +959,7 @@ def build_pallas_env_rollout(
     def rollout(state: BatchedState, W=None, b=None,
                 W1=None, b1=None, W2=None, b2=None,
                 Kmul=None, Dmul=None, mumul=None, gmul=None, Mmul=None,
-                seed=0):
+                terrOff=None, seed=0):
         B1 = state.p.shape[-2]
         assert B1 % tile_sub == 0
         grid = (B1 // tile_sub,)
@@ -992,6 +1001,20 @@ def build_pallas_env_rollout(
                     )
                 extra_in.append(mul)
                 extra_specs.append(spec(()))
+        if terr_off:
+            off = jnp.asarray(
+                terrOff
+                if terrOff is not None
+                else jnp.zeros((2,) + tile_shape),
+                dtype=jnp.float32,
+            )
+            if off.shape != (2,) + tile_shape:
+                raise ValueError(
+                    f"terrOff must have shape {(2,) + tile_shape};"
+                    f" got {off.shape}"
+                )
+            extra_in.append(off)
+            extra_specs.append(spec((2,)))
         if linear_policy:
             # Weights live in SMEM: the kernel reads them as scalars, the
             # supported Mosaic pattern (VMEM scalar extraction mis-lowers
@@ -1099,7 +1122,7 @@ def build_pallas_env_rollout(
 
 def build_pallas_rollout(
     engine: BatchedEngine, n_steps: int, policy=None, domain: bool = False,
-    tile_sub: int | None = None,
+    terr_off: bool = False, tile_sub: int | None = None,
 ):
     """Return a jittable rollout advancing ``n_steps`` inside ONE kernel
     launch per batch tile (state shapes as in build_pallas_step).
@@ -1113,10 +1136,14 @@ def build_pallas_rollout(
     n, nC = engine.n_joints, engine.m_rows
     tile_sub = TILE_SUB if tile_sub is None else int(tile_sub)
 
-    kernel = functools.partial(_rollout_kernel, engine, policy, n_steps, domain)
+    if terr_off and engine.terrain_kind != "fourier":
+        raise ValueError("terr_off requires a FourierTerrain engine")
+    kernel = functools.partial(
+        _rollout_kernel, engine, policy, n_steps, domain, terr_off
+    )
 
     def rollout(state: BatchedState, Kmul=None, Dmul=None, mumul=None,
-                gmul=None, Mmul=None):
+                gmul=None, Mmul=None, terrOff=None):
         B1 = state.p.shape[-2]
         assert B1 % tile_sub == 0
         grid = (B1 // tile_sub,)
@@ -1159,6 +1186,18 @@ def build_pallas_rollout(
                 mults.append(mul)
             extra_in = mults
             extra_specs = [spec(())] * 5
+        if terr_off:
+            tile = state.p.shape[1:]
+            off = jnp.asarray(
+                terrOff if terrOff is not None else jnp.zeros((2,) + tile),
+                dtype=jnp.float32,
+            )
+            if off.shape != (2,) + tile:
+                raise ValueError(
+                    f"terrOff must have shape {(2,) + tile}; got {off.shape}"
+                )
+            extra_in = extra_in + [off]
+            extra_specs = extra_specs + [spec((2,))]
         out_shapes = [
             jax.ShapeDtypeStruct(a.shape, a.dtype)
             for a in (state.s, state.sd, state.p, state.q, state.v, state.m)

@@ -376,3 +376,46 @@ def test_fused_eval_rollout_mlp_weights():
             jax.random.PRNGKey(5), ps.TILE_ENVS, 3,
             W=jnp.zeros((n, d)), mlp_weights=w1,
         )
+
+
+def test_fused_eval_rollout_rough_terrain_offsets():
+    """domain={"terrOff": (2, B)} gives every env its own FourierTerrain
+    patch inside the fused eval kernel: zero offsets match the
+    offset-free kernel exactly, distinct offsets change outcomes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.terrain import FourierTerrain
+
+    terr = FourierTerrain.build(
+        seed=5, num_components=6, amplitude=0.05, wavelength=0.6
+    )
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_garpez_urdf(), terrain=terr
+    )
+    eng = BatchedEngine.build(model)
+    # Spawn in penetration so contacts (and therefore the terrain) engage
+    # within the short horizon.
+    env = BatchedEnv(
+        engine=eng,
+        reset_base_position=(0.0, 0.0, 0.02),
+        reset_noise_std=0.0,
+        healthy_z_range=(-1.0, 2.0),
+    )
+    policy = lambda s: -5.0 * s.s - 0.1 * s.sd
+    B = 1024
+    with pltpu.force_tpu_interpret_mode():
+        _, r0, _ = env.fused_eval_rollout(
+            jax.random.PRNGKey(0), B, 4, policy=policy
+        )
+        _, rz, _ = env.fused_eval_rollout(
+            jax.random.PRNGKey(0), B, 4, policy=policy,
+            domain={"terrOff": jnp.zeros((2, B))},
+        )
+        off = 2.0 * jax.random.normal(jax.random.PRNGKey(3), (2, B))
+        _, ro, _ = env.fused_eval_rollout(
+            jax.random.PRNGKey(0), B, 4, policy=policy,
+            domain={"terrOff": off},
+        )
+    assert np.allclose(np.asarray(r0), np.asarray(rz), atol=1e-6)
+    assert np.isfinite(np.asarray(ro)).all()
+    assert not np.allclose(np.asarray(r0), np.asarray(ro))

@@ -270,6 +270,49 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — report, don't fail the bench
             extra_latency["rigid_error"] = f"{type(e).__name__}"
 
+        # --- rough terrain: spectral FourierTerrain evaluated in-kernel,
+        # with per-env terrain translation (domain-randomized patches). ---
+        try:
+            from jaxsim_tpu.terrain import FourierTerrain
+
+            model_ft = js.JaxSimModel.build_from_model_description(
+                models.build_humanoid_urdf(),
+                terrain=FourierTerrain.build(
+                    seed=0, num_components=8, amplitude=0.04, wavelength=0.7
+                ),
+                integrator=integrator,
+            )
+            model_ft = model_ft.replace(contact_params=params)
+            eng_ft = BatchedEngine.build(model_ft)
+            st_ft = _ps.tile_state(
+                eng_ft.init_state(batch_size, key=jax.random.PRNGKey(6))
+            )
+            ft_steps = int(os.environ.get("BENCH_FT_STEPS", "200"))
+            off = 10.0 * jax.random.normal(
+                jax.random.PRNGKey(7), (2,) + st_ft.p.shape[1:]
+            )
+            run_ft = jax.jit(
+                _ps.build_pallas_rollout(
+                    eng_ft, ft_steps, terr_off=True, tile_sub=tile_sub
+                )
+            )
+            o = run_ft(st_ft, terrOff=off)
+            jax.block_until_ready(o.p)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                o = run_ft(o, terrOff=off)
+                jax.block_until_ready(o.p)
+                ts.append(time.perf_counter() - t0)
+            extra_latency["env_steps_per_sec_rough_terrain"] = round(
+                batch_size * ft_steps / sorted(ts)[1], 1
+            )
+            extra_latency["rough_terrain_finite"] = bool(
+                jnp.all(jnp.isfinite(o.p)).item()
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't fail the bench
+            extra_latency["rough_terrain_error"] = f"{type(e).__name__}"
+
         # --- gradient path (BASELINE config 4): policy grads through a
         # rollout. Preferred: fused Pallas forward AND backward kernels
         # (build_fused_diff_pallas_rollout); fallback: Pallas forward +

@@ -1602,3 +1602,69 @@ def test_pallas_step_fourier_interpret():
         assert_allclose(
             getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
         )
+
+
+@pytest.mark.tpu
+def test_fused_diff_pallas_step_weld_tpu():
+    """Fused BACKWARD kernel with weld constraints: the constraint solve
+    is an unrolled Cholesky over a matrix-free Delassus assembly (no
+    custom_vjp needed), so jax.vjp of the constrained step traces inside
+    the Pallas kernel. Gradients match the XLA engine's."""
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires TPU (interpret-mode compile is pathological)")
+
+    model = _weld_model()
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024))
+    tau = 0.3 * jax.random.normal(
+        jax.random.PRNGKey(11), (eng.n_joints,) + st.p.shape[1:]
+    )
+    fused = ps.build_fused_diff_pallas_step(eng)
+
+    def loss_fused(tau_):
+        new = fused(st, tau_)
+        return jnp.sum(new.sd**2) + jnp.sum(new.s**2)
+
+    def loss_engine(tau_):
+        new = eng.step(st, tau_)
+        return jnp.sum(new.sd**2) + jnp.sum(new.s**2)
+
+    g = jax.jit(jax.grad(loss_fused))(tau)
+    rg = jax.grad(loss_engine)(tau)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert_allclose(g, rg, rtol=1e-4, atol=1e-7, err_msg="grad tau")
+
+
+@pytest.mark.tpu
+def test_fused_diff_pallas_step_fourier_tpu():
+    """Fused BACKWARD kernel on FourierTerrain: the spectral terrain is
+    elementwise trig, so its vjp (cos/sin chains through the per-point
+    normals) traces inside the Pallas kernel. Gradients match the XLA
+    engine's."""
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires TPU (interpret-mode compile is pathological)")
+
+    model, _ = _fourier_model()
+    eng = BatchedEngine.build(model)
+    st = ps.tile_state(eng.init_state(1024, base_position=(0.0, 0.0, 0.02)))
+    tau = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(13), (eng.n_joints,) + st.p.shape[1:]
+    )
+    fused = ps.build_fused_diff_pallas_step(eng)
+
+    def loss_fused(tau_):
+        new = fused(st, tau_)
+        return jnp.sum(new.sd**2) + 0.1 * jnp.sum(new.v**2)
+
+    def loss_engine(tau_):
+        new = eng.step(st, tau_)
+        return jnp.sum(new.sd**2) + 0.1 * jnp.sum(new.v**2)
+
+    g = jax.jit(jax.grad(loss_fused))(tau)
+    rg = jax.grad(loss_engine)(tau)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert_allclose(g, rg, rtol=1e-4, atol=1e-7, err_msg="grad tau")

@@ -67,6 +67,7 @@ def _build_fused_eval(
         mlp_hidden,
         domain,
         terr_off,
+        env.terrain_relative,
     )
     fn = _FUSED_EVAL_CACHE.get(key)
     if fn is None:
@@ -82,6 +83,7 @@ def _build_fused_eval(
                 mlp_policy=mlp_hidden,
                 domain=domain,
                 terr_off=terr_off,
+                terrain_relative=env.terrain_relative,
             )
         )
         if len(_FUSED_EVAL_CACHE) >= 32:
@@ -110,6 +112,10 @@ class BatchedEnv:
         reset_base_position: Episode-start base position.
         reset_noise_std: Std of the Gaussian noise on the reset position.
         healthy_z_range: Episode terminates when base height leaves it.
+        terrain_relative: With a FourierTerrain engine, use the
+            terrain-RELATIVE base height (p_z − h(x, y)) in the default
+            observation and in the healthy-height termination test —
+            rough-terrain policies cannot act on absolute height.
         reward_fn: ``(prev_sim, action, new_sim) -> (B,)``; default is an
             upright-height bonus minus a control cost.
         obs_fn: ``sim -> (obs_dim, B)``; default concatenates
@@ -122,8 +128,21 @@ class BatchedEnv:
     reset_base_position: tuple = (0.0, 0.0, 0.9)
     reset_noise_std: float = 0.01
     healthy_z_range: tuple = (0.4, 2.0)
+    terrain_relative: bool = False
     reward_fn: Callable | None = None
     obs_fn: Callable | None = None
+
+    def __post_init__(self):
+        if self.terrain_relative and self.engine.terrain_kind != "fourier":
+            raise ValueError(
+                "terrain_relative requires a FourierTerrain engine"
+            )
+
+    def _height_rel(self, sim: BatchedState) -> jnp.ndarray:
+        h, _, _ = self.engine._fourier_height_grad(
+            self.engine.params(), sim.p[0], sim.p[1]
+        )
+        return sim.p[2] - h
 
     @property
     def action_size(self) -> int:
@@ -132,7 +151,12 @@ class BatchedEnv:
     def _obs(self, sim: BatchedState) -> jnp.ndarray:
         if self.obs_fn is not None:
             return self.obs_fn(sim)
-        return jnp.concatenate([sim.s, sim.sd, sim.q, sim.v, sim.p[2:3]], axis=0)
+        z = (
+            self._height_rel(sim)[None]
+            if self.terrain_relative
+            else sim.p[2:3]
+        )
+        return jnp.concatenate([sim.s, sim.sd, sim.q, sim.v, z], axis=0)
 
     def _reward(self, prev: BatchedState, action, new: BatchedState):
         if self.reward_fn is not None:
@@ -178,7 +202,11 @@ class BatchedEnv:
         new_sim = self.engine.step(state.sim, tau)
         steps = state.steps + 1
 
-        z = new_sim.p[2]
+        z = (
+            self._height_rel(new_sim)
+            if self.terrain_relative
+            else new_sim.p[2]
+        )
         lo, hi = self.healthy_z_range
         terminated = jnp.logical_or(z < lo, z > hi)
         truncated = steps >= self.episode_length

@@ -682,14 +682,16 @@ def _sel(done, fresh, new):
     )
 
 
-def _obs_rows(st: BatchedState):
+def _obs_rows(st: BatchedState, hrel=None):
     """Observation rows ``[s, sd, q, v, p_z]`` as a list of batch tiles
-    (matches envs.BatchedEnv's default observation)."""
+    (matches envs.BatchedEnv's default observation). With ``hrel`` the
+    height row is the TERRAIN-RELATIVE height instead of absolute p_z
+    (rough-terrain policies cannot act on absolute height)."""
     rows = [st.s[i] for i in range(st.s.shape[0])]
     rows += [st.sd[i] for i in range(st.sd.shape[0])]
     rows += [st.q[i] for i in range(4)]
     rows += [st.v[i] for i in range(6)]
-    rows.append(st.p[2])
+    rows.append(st.p[2] if hrel is None else hrel)
     return rows
 
 
@@ -699,14 +701,14 @@ def obs_dim(n_joints: int) -> int:
 
 
 def _linear_policy_tau(st: BatchedState, getW, getb, n_joints: int,
-                       tau_limit=None):
+                       tau_limit=None, hrel_fn=None):
     """``tau = W @ obs + b`` unrolled into scalar MACs over batch tiles.
     ``getW(a, k)``/``getb(a)`` read the weights as SCALARS — from SMEM refs
     in the kernel (W/b are call-time inputs, so updated policy weights do
     NOT trigger a kernel recompile; scalar reads from VMEM-loaded arrays
     mis-lower in Mosaic for unaligned minor dims, hence SMEM).
     ``tau_limit`` clips torques to ±limit (actuator saturation)."""
-    rows = _obs_rows(st)
+    rows = _obs_rows(st, hrel_fn(st) if hrel_fn is not None else None)
     taus = []
     for a in range(n_joints):
         acc = getb(a) + getW(a, 0) * rows[0]
@@ -719,11 +721,12 @@ def _linear_policy_tau(st: BatchedState, getW, getb, n_joints: int,
 
 
 def _mlp_policy_tau(st: BatchedState, getW1, getb1, getW2, getb2,
-                    n_joints: int, hidden: int, tau_limit=None):
+                    n_joints: int, hidden: int, tau_limit=None,
+                    hrel_fn=None):
     """``tau = W2 @ tanh(W1 @ obs + b1) + b2`` unrolled into scalar MACs
     over batch tiles (one hidden tanh layer; weights read as SMEM scalars
     like :func:`_linear_policy_tau`, so weight updates don't recompile)."""
-    rows = _obs_rows(st)
+    rows = _obs_rows(st, hrel_fn(st) if hrel_fn is not None else None)
     hs = []
     for h in range(hidden):
         acc = getb1(h) + getW1(h, 0) * rows[0]
@@ -744,8 +747,8 @@ def _mlp_policy_tau(st: BatchedState, getW1, getb1, getW2, getb2,
 def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
                         episode_length: int, z_lo: float, z_hi: float,
                         linear_policy: bool, mlp_hidden, domain: bool,
-                        terr_off: bool, tau_limit, reset_noise: float,
-                        *refs):
+                        terr_off: bool, terrain_rel: bool, tau_limit,
+                        reset_noise: float, *refs):
     """RL evaluation rollout in one kernel: step + termination/truncation +
     auto-reset to the episode-start state, with per-env reward accumulation.
 
@@ -769,6 +772,14 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
     if terr_off:
         pr["terrOff"] = refs[k][:]
         k += 1
+    # Terrain-relative height (rough terrain): replaces the absolute p_z in
+    # the default observation AND in the healthy-height termination test.
+    hrel_fn = (
+        (lambda st: st.p[2]
+         - engine._fourier_height_grad(pr, st.p[0], st.p[1])[0])
+        if terrain_rel
+        else None
+    )
     if linear_policy:
         n = s_ref.shape[0]
         W_ref, b_ref = refs[k], refs[k + 1]
@@ -781,7 +792,9 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
         else:
             getW = lambda a, kk: W_ref[a, kk]
             getb = lambda a: b_ref[a, 0]
-        policy = lambda st: _linear_policy_tau(st, getW, getb, n, tau_limit)
+        policy = lambda st: _linear_policy_tau(
+            st, getW, getb, n, tau_limit, hrel_fn
+        )
     elif mlp_hidden:
         n = s_ref.shape[0]
         W1_ref, b1_ref, W2_ref, b2_ref = refs[k:k + 4]
@@ -798,7 +811,8 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
             getW2 = lambda a, h: W2_ref[a, h]
             getb2 = lambda a: b2_ref[a, 0]
         policy = lambda st: _mlp_policy_tau(
-            st, getW1, getb1, getW2, getb2, n, mlp_hidden, tau_limit
+            st, getW1, getb1, getW2, getb2, n, mlp_hidden, tau_limit,
+            hrel_fn
         )
     if reset_noise > 0.0:
         seed_ref = refs[k]
@@ -837,7 +851,7 @@ def _env_rollout_kernel(engine: BatchedEngine, policy, reward, n_steps: int,
             new = engine.step(st, tau, pr)
 
             steps1 = steps + 1
-            z = new.p[2]
+            z = new.p[2] if hrel_fn is None else hrel_fn(new)
             done = jnp.logical_or(
                 jnp.logical_or(z < z_lo, z > z_hi),
                 steps1 >= episode_length,
@@ -890,6 +904,7 @@ def build_pallas_env_rollout(
     mlp_policy: int | None = None,
     domain: bool = False,
     terr_off: bool = False,
+    terrain_relative: bool = False,
     per_tile_weights: bool = False,
     tau_limit: float | None = None,
     reset_noise: float = 0.0,
@@ -948,10 +963,13 @@ def build_pallas_env_rollout(
 
     if terr_off and engine.terrain_kind != "fourier":
         raise ValueError("terr_off requires a FourierTerrain engine")
+    if terrain_relative and engine.terrain_kind != "fourier":
+        raise ValueError("terrain_relative requires a FourierTerrain engine")
     kernel = functools.partial(
         _env_rollout_kernel, engine, policy, reward, n_steps,
         int(episode_length), z_lo, z_hi, linear_policy,
         int(mlp_policy) if mlp_policy else None, domain, terr_off,
+        terrain_relative,
         float(tau_limit) if tau_limit is not None else None,
         float(reset_noise),
     )

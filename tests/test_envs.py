@@ -419,3 +419,58 @@ def test_fused_eval_rollout_rough_terrain_offsets():
     assert np.allclose(np.asarray(r0), np.asarray(rz), atol=1e-6)
     assert np.isfinite(np.asarray(ro)).all()
     assert not np.allclose(np.asarray(r0), np.asarray(ro))
+
+
+def test_terrain_relative_obs_and_termination():
+    """terrain_relative=True: the default observation's height row and the
+    healthy-height termination use p_z − h(x, y); XLA env path and fused
+    kernel agree."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.terrain import FourierTerrain
+
+    terr = FourierTerrain.build(
+        seed=5, num_components=6, amplitude=0.05, wavelength=0.6
+    )
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_garpez_urdf(), terrain=terr
+    )
+    eng = BatchedEngine.build(model)
+
+    with pytest.raises(ValueError, match="FourierTerrain"):
+        BatchedEnv(engine=_env().engine, terrain_relative=True)
+
+    env = BatchedEnv(
+        engine=eng,
+        reset_base_position=(0.0, 0.0, 0.30),
+        reset_noise_std=0.0,
+        healthy_z_range=(0.05, 2.0),
+        terrain_relative=True,
+    )
+    st, obs = env.reset(jax.random.PRNGKey(0), 8)
+    # The obs height row is terrain-relative: subtracting h(x, y) by hand
+    # from the absolute height reproduces it.
+    h = np.asarray(terr.height(st.sim.p[0], st.sim.p[1]))
+    assert np.allclose(
+        np.asarray(obs[-1]), np.asarray(st.sim.p[2]) - h, atol=1e-6
+    )
+
+    # Fused kernel with a linear policy reading the relative height: runs
+    # finite and matches the same env stepped on the XLA path.
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    n = eng.n_joints
+    W = jnp.zeros((n, ps.obs_dim(n)))
+    with pltpu.force_tpu_interpret_mode():
+        final, rew, resets = env.fused_eval_rollout(
+            jax.random.PRNGKey(0), 1024, 4, W=W
+        )
+    assert np.isfinite(np.asarray(rew)).all()
+
+    # XLA reference: same zero policy, same respawn state, same horizon.
+    st2, _ = env.reset(jax.random.PRNGKey(1), 1024)
+    r_sum = jnp.zeros(1024)
+    for _ in range(4):
+        st2, _, r, _ = env.step(st2, jnp.zeros((n, 1024)))
+        r_sum = r_sum + r
+    assert np.allclose(np.asarray(rew), np.asarray(r_sum), atol=1e-4)

@@ -47,12 +47,18 @@ class LinkParameters:
 
     @staticmethod
     def build_from_spatial_inertia(index, M: jtp.Matrix) -> "LinkParameters":
-        m, c, I_com = Inertia.to_params(jnp.asarray(M, dtype=float))
+        # Offline (NumPy) path: called once per link at model-build time from
+        # KinDynParameters.build — keep it off the eager-JAX dispatcher.
+        from jaxsim_tpu.math import np_spatial
+
+        m, c, I_com = np_spatial.spatial_inertia_to_params(np.asarray(M))
         return LinkParameters(
-            index=jnp.asarray(index, dtype=int),
-            mass=jnp.asarray(m, dtype=float),
-            center_of_mass=jnp.asarray(c, dtype=float),
-            inertia_elements=LinkParameters.flatten_inertia(I_com),
+            index=np.asarray(index, dtype=int),
+            mass=np.asarray(m, dtype=float),
+            center_of_mass=np.asarray(c, dtype=float),
+            inertia_elements=np.array(
+                [I_com[0, 0], I_com[0, 1], I_com[0, 2], I_com[1, 1], I_com[1, 2], I_com[2, 2]]
+            ),
         )
 
     @staticmethod
@@ -111,7 +117,9 @@ class JointParameters:
         joints: list[JointDescription],
     ) -> "JointParameters":
         def arr(fn, dtype=float):
-            return jnp.array([fn(j) for j in joints], dtype=dtype)
+            # Offline (NumPy) — one device_put at the end of
+            # KinDynParameters.build moves everything to device in one go.
+            return np.array([fn(j) for j in joints], dtype=dtype)
 
         return JointParameters(
             index=arr(lambda j: j.index, dtype=int),
@@ -151,7 +159,7 @@ class ContactParameters:
         return ContactParameters(
             body=tuple(int(p.parent_link.index) for p in all_points),
             enabled=tuple(bool(p.enabled) for p in all_points),
-            point=jnp.array([p.position for p in all_points], dtype=float),
+            point=np.array([p.position for p in all_points], dtype=float),
         )
         del points
 
@@ -177,7 +185,7 @@ class FrameParameters:
                 int(model_description.links_dict[f.parent_name].index)
                 for f in model_description.frames
             ),
-            transform=jnp.array(
+            transform=np.array(
                 [f.pose for f in model_description.frames], dtype=float
             ),
         )
@@ -261,7 +269,7 @@ class KinDynParameters:
         )
 
         link_parameters = jax.tree.map(
-            lambda *l: jnp.stack(l),
+            lambda *l: np.stack(l),
             *[
                 LinkParameters.build_from_spatial_inertia(link.index, link.inertia)
                 for link in ordered_links
@@ -272,13 +280,13 @@ class KinDynParameters:
             JointParameters.build_from_joint_descriptions(ordered_joints)
             if ordered_joints
             else JointParameters(
-                index=jnp.array([], dtype=int),
-                friction_static=jnp.array([], dtype=float),
-                friction_viscous=jnp.array([], dtype=float),
-                position_limits_min=jnp.array([], dtype=float),
-                position_limits_max=jnp.array([], dtype=float),
-                position_limit_spring=jnp.array([], dtype=float),
-                position_limit_damper=jnp.array([], dtype=float),
+                index=np.array([], dtype=int),
+                friction_static=np.array([], dtype=float),
+                friction_viscous=np.array([], dtype=float),
+                position_limits_min=np.array([], dtype=float),
+                position_limits_max=np.array([], dtype=float),
+                position_limit_spring=np.array([], dtype=float),
+                position_limit_damper=np.array([], dtype=float),
             )
         )
 
@@ -324,7 +332,7 @@ class KinDynParameters:
             elif joint.jtype == JointType.Prismatic:
                 S[joint.index, 0:3] = axis
 
-        return KinDynParameters(
+        kdp = KinDynParameters(
             link_names=tuple(l.name for l in ordered_links),
             _parent_array=tuple(int(i) for i in parent_array),
             _depth_levels=levels,
@@ -337,6 +345,10 @@ class KinDynParameters:
             frame_parameters=frame_parameters,
             constraints=constraints if constraints is not None else ConstraintMap(),
         )
+        # The builders above are eager NumPy (no tiny per-op XLA compiles at
+        # model-build time); move every dynamic leaf to device in ONE
+        # transfer, with standard dtype canonicalization (f64→f32 etc.).
+        return jax.device_put(kdp)
 
     # ----- sizes -----
 

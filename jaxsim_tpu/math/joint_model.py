@@ -88,9 +88,11 @@ class JointModel:
         base_dofs = 0 if description.fixed_base else 6
 
         return JointModel(
-            lambda_H_pre=jnp.asarray(lambda_H_pre, dtype=float),
-            suc_H_i=jnp.asarray(suc_H_i, dtype=float),
-            joint_axis=jnp.asarray(axes, dtype=float),
+            # NumPy leaves: KinDynParameters.build device_puts the whole
+            # parameter pack in one transfer at the end.
+            lambda_H_pre=np.asarray(lambda_H_pre, dtype=float),
+            suc_H_i=np.asarray(suc_H_i, dtype=float),
+            joint_axis=np.asarray(axes, dtype=float),
             joint_dofs=tuple([base_dofs] + [1] * n),
             joint_names=tuple(["world_to_base"] + [j.name for j in ordered_joints]),
             joint_types=tuple([JointType.Fixed] + [j.jtype for j in ordered_joints]),

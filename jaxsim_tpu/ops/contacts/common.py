@@ -72,19 +72,30 @@ class ContactsParams(abc.ABC):
         **kwargs,
     ) -> "ContactsParams":
         """Estimate K, D from the model mass and the desired steady-state
-        penetration δ_max (reference ``contacts/common.py:88-168``)."""
-        m = jnp.sum(model.kin_dyn_parameters.link_parameters.mass)
+        penetration δ_max (reference ``contacts/common.py:88-168``).
+
+        Runs as eager NumPy when nothing is traced (the model-build path —
+        avoids per-op XLA compiles); falls back to jnp under tracing.
+        """
+        import numpy as _np
+
+        from jaxsim_tpu.utils.tracing import tracing
+
+        mass_leaf = model.kin_dyn_parameters.link_parameters.mass
+        eager = not any(map(tracing, (mass_leaf, stiffness, damping)))
+        xp = _np if eager else jnp
+        m = xp.sum(xp.asarray(mass_leaf))
 
         if stiffness is None:
             f_average = (
                 m * standard_gravity / number_of_active_collidable_points_steady_state
             )
-            stiffness = f_average / jnp.power(max_penetration, 1 + p)
-            stiffness = jnp.clip(stiffness, 0, MAX_STIFFNESS)
+            stiffness = f_average / xp.power(max_penetration, 1 + p)
+            stiffness = xp.clip(stiffness, 0, MAX_STIFFNESS)
 
         if damping is None:
-            critical_damping = 2 * jnp.sqrt(stiffness * m)
-            damping = jnp.clip(damping_ratio * critical_damping, 0, MAX_DAMPING)
+            critical_damping = 2 * xp.sqrt(stiffness * m)
+            damping = xp.clip(damping_ratio * critical_damping, 0, MAX_DAMPING)
 
         return cls.build(
             K=stiffness,

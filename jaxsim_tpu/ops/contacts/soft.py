@@ -238,4 +238,8 @@ def _stability_clamped_defaults(model, K, D, max_penetration):
         D_cap = min(D_cap, 0.5 * m / (dt * sqrt_d * n_pts))
         K_cap = min(K_cap, (0.33 / dt) ** 2 * m / (1.5 * sqrt_d * n_pts))
 
-    return jnp.minimum(K, K_cap), jnp.minimum(D, D_cap)
+    from jaxsim_tpu.utils.tracing import tracing
+
+    if tracing(K) or tracing(D):
+        return jnp.minimum(K, K_cap), jnp.minimum(D, D_cap)
+    return np.minimum(K, K_cap), np.minimum(D, D_cap)

@@ -41,12 +41,10 @@ class RootPose:
     )
 
     def to_matrix(self) -> npt.NDArray:
-        from jaxsim_tpu.math import Transform
+        from jaxsim_tpu.math import np_spatial
 
-        return np.asarray(
-            Transform.from_quaternion_and_translation(
-                self.root_quaternion, self.root_position
-            )
+        return np_spatial.transform_from_quat_trans(
+            self.root_quaternion, self.root_position
         )
 
     def __hash__(self) -> int:
@@ -484,16 +482,10 @@ class KinematicGraphTransforms:
         joint_axis: npt.NDArray,
         joint_position: float | None = None,
     ) -> npt.NDArray:
-        import jaxsim_tpu.math
+        from jaxsim_tpu.math import np_spatial
 
         s = float(joint_position) if joint_position is not None else 0.0
-        return np.asarray(
-            jaxsim_tpu.math.supported_joint_motion(
-                np.array([joint_type]),
-                np.array([s]),
-                np.atleast_2d(np.asarray(joint_axis, dtype=float)),
-            )
-        )[0]
+        return np_spatial.joint_transform(joint_type, joint_axis, s)
 
     def find_parent_link_of_frame(self, name: str) -> str:
         try:

@@ -66,7 +66,7 @@ def parse_sdf(
 ):
     """Parse an SDF string/path. Returns the same tuple as
     :func:`jaxsim_tpu.parsers.urdf.parse_urdf`."""
-    from jaxsim_tpu.math import Inertia
+    from jaxsim_tpu.math import np_spatial
 
     text = sdf
     if isinstance(sdf, pathlib.Path) or (
@@ -180,7 +180,7 @@ def parse_sdf(
                 )
             else:
                 I_com = np.zeros((3, 3))
-            M6 = np.asarray(Inertia.to_sixd(mass, com, R @ I_com @ R.T))
+            M6 = np_spatial.spatial_inertia(mass, com, R @ I_com @ R.T)
         link = LinkDescription(name=lname, mass=mass, inertia=M6, pose=np.eye(4))
         links[lname] = link
         parsed_links.append(link)

@@ -60,7 +60,7 @@ def _origin_to_matrix(element: ET.Element | None) -> npt.NDArray:
 
 def _parse_inertial(link_el: ET.Element) -> tuple[float, npt.NDArray]:
     """Return (mass, 6×6 spatial inertia in the link frame)."""
-    from jaxsim_tpu.math import Inertia, Skew
+    from jaxsim_tpu.math import np_spatial
 
     inertial = link_el.find("inertial")
     if inertial is None:
@@ -88,8 +88,7 @@ def _parse_inertial(link_el: ET.Element) -> tuple[float, npt.NDArray]:
     # 6×6 spatial inertia about the link origin (Inertia.to_sixd takes the
     # inertia about the CoM, link-frame oriented).
     I_com_link = R @ I_com @ R.T
-    M = np.asarray(Inertia.to_sixd(mass, com, I_com_link))
-    del Skew
+    M = np_spatial.spatial_inertia(mass, com, I_com_link)
     return mass, M
 
 
@@ -332,6 +331,6 @@ def parse_urdf(
 
 
 def _matrix_to_wxyz(R: npt.NDArray) -> npt.NDArray:
-    import jaxsim_tpu.math
+    from jaxsim_tpu.math import np_spatial
 
-    return np.asarray(jaxsim_tpu.math.Quaternion.from_dcm(np.asarray(R)))
+    return np_spatial.quat_wxyz_from_dcm(np.asarray(R))

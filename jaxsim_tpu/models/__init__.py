@@ -5,5 +5,6 @@ from .builders import (
     build_garpez_urdf,
     build_humanoid_urdf,
     build_pendulum_urdf,
+    build_quadruped_urdf,
     build_sphere_urdf,
 )

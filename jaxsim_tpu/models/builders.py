@@ -298,6 +298,110 @@ def build_humanoid_urdf(name: str = "humanoid23") -> str:
     return f'<robot name="{name}">\n{body}\n</robot>'
 
 
+def build_quadruped_urdf(name: str = "quadruped12") -> str:
+    """Floating-base quadruped with the standard 12-DoF layout (Go2/ANYmal
+    class): per leg, hip abduction (roll, x), hip pitch (y), knee pitch (y).
+    13 links; box feet give 8 collision points each (32 total), fewer than
+    the humanoid's 48, so the fused hot path covers it directly.
+
+    Mirrors the reference test zoo's "floating-base legged robot" category
+    (``/root/reference/tests/conftest.py:319-350`` uses ErgoCub; the zoo here
+    is programmatic) and adds a second locomotion model family next to
+    :func:`build_humanoid_urdf`.
+    """
+    parts = []
+    # Trunk: floating base, Go2-ish scale.
+    parts.append(
+        _link(
+            "trunk",
+            10.0,
+            _box_inertia(10.0, 0.38, 0.19, 0.11),
+            collision=_box_collision(0.38, 0.19, 0.11),
+        )
+    )
+
+    foot_col = _box_collision(0.05, 0.04, 0.03, origin=(0.0, 0.0, -0.215))
+    # (front/rear, left/right) hip attachment offsets on the trunk.
+    for prefix, sx, sy in (
+        ("fl", 1.0, 1.0),
+        ("fr", 1.0, -1.0),
+        ("rl", -1.0, 1.0),
+        ("rr", -1.0, -1.0),
+    ):
+        hip = f"{prefix}_hip"
+        thigh = f"{prefix}_thigh"
+        calf = f"{prefix}_calf"
+        # Hip abduction/adduction about +x.
+        parts.append(
+            _joint(
+                f"{prefix}_hip_roll",
+                "revolute",
+                "trunk",
+                hip,
+                xyz=(sx * 0.17, sy * 0.06, 0.0),
+                axis=(1, 0, 0),
+                lower=-0.8,
+                upper=0.8,
+                damping=0.1,
+                effort=35.0,
+                velocity=20.0,
+            )
+        )
+        parts.append(_link(hip, 0.7, _cylinder_inertia(0.7, 0.035, 0.08)))
+        # Hip flexion/extension about +y; thigh hangs along -z.
+        parts.append(
+            _joint(
+                f"{prefix}_hip_pitch",
+                "revolute",
+                hip,
+                thigh,
+                xyz=(0.0, sy * 0.055, 0.0),
+                axis=(0, 1, 0),
+                lower=-1.6,
+                upper=2.6,
+                damping=0.1,
+                effort=35.0,
+                velocity=20.0,
+            )
+        )
+        parts.append(
+            _link(thigh, 1.1, _box_inertia(1.1, 0.04, 0.04, 0.21), com=(0, 0, -0.105))
+        )
+        # Knee about +y; calf carries the box foot collision at its tip.
+        parts.append(
+            _joint(
+                f"{prefix}_knee",
+                "revolute",
+                thigh,
+                calf,
+                xyz=(0.0, 0.0, -0.21),
+                axis=(0, 1, 0),
+                lower=-2.7,
+                upper=-0.2,
+                damping=0.1,
+                effort=45.0,
+                velocity=20.0,
+            )
+        )
+        parts.append(
+            _link(
+                calf,
+                0.3,
+                _box_inertia(0.3, 0.03, 0.03, 0.21),
+                com=(0, 0, -0.105),
+                collision=foot_col,
+            )
+        )
+        # Foot frame at the contact patch center.
+        parts.append(
+            _joint(f"{prefix}_foot_fixed", "fixed", calf, f"{prefix}_foot", xyz=(0, 0, -0.215))
+        )
+        parts.append(f'  <link name="{prefix}_foot"/>')
+
+    body = "".join(parts)
+    return f'<robot name="{name}">\n{body}\n</robot>'
+
+
 def build_garpez_urdf(
     name: str = "garpez",
     dims: tuple = ((0.2, 0.2, 0.2), (0.15, 0.15, 0.6), (0.1, 0.5, 0.1), (0.3, 0.1, 0.1)),

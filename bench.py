@@ -34,17 +34,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 def main() -> None:
     batch_size = int(os.environ.get("BENCH_BATCH", "8192"))
     n_steps = int(os.environ.get("BENCH_STEPS", "1000"))
+    bench_failures: list[str] = []
 
     import jaxsim_tpu.api as js
     from jaxsim_tpu import models
     from jaxsim_tpu.ops.batched_engine import BatchedEngine
     from jaxsim_tpu.parallel import make_env_mesh, shard_data_batch
 
-    bench_path = os.environ.get("BENCH_PATH", "fused")  # fused|pallas|batched|vmap
-    if bench_path not in ("fused", "pallas", "batched", "vmap"):
+    # fused|pallas|batched|vmap|vmap_generic: "vmap" is reference-style
+    # vmap(js.model.step) code, which since round 3 auto-dispatches onto
+    # the engine (backend="auto"); "vmap_generic" forces the old generic
+    # path for comparison.
+    bench_path = os.environ.get("BENCH_PATH", "fused")
+    if bench_path not in ("fused", "pallas", "batched", "vmap", "vmap_generic"):
         print(f"# unknown BENCH_PATH={bench_path!r}; using 'batched'", file=sys.stderr)
         bench_path = "batched"
-    use_vmap_path = bench_path == "vmap"
+    use_vmap_path = bench_path in ("vmap", "vmap_generic")
 
     integrator_name = os.environ.get("BENCH_INTEGRATOR", "sie")  # sie|rk4|rk4fast
     from jaxsim_tpu.api.model import IntegratorType
@@ -56,7 +61,9 @@ def main() -> None:
     }.get(integrator_name, IntegratorType.SemiImplicitEuler)
 
     model = js.JaxSimModel.build_from_model_description(
-        models.build_humanoid_urdf(), integrator=integrator
+        models.build_humanoid_urdf(),
+        integrator=integrator,
+        backend="generic" if bench_path == "vmap_generic" else "auto",
     )
     params = js.contact.estimate_good_contact_parameters(
         model,
@@ -151,6 +158,9 @@ def main() -> None:
                     f"falling back to {nxt}",
                     file=sys.stderr,
                 )
+                bench_failures.append(
+                    f"main_{bench_path}: {type(e).__name__}: {e}"
+                )
                 bench_path = nxt
                 if bench_path == "batched":
                     state = eng.init_state(batch_size, key=jax.random.PRNGKey(0))
@@ -175,65 +185,93 @@ def main() -> None:
     p50_step_ms = dt_s / n_steps * 1e3
 
     extra_latency = {}
+
+    def run_extra(name, fn):
+        """Run one advertised bench path; record its error AND fail loudly.
+
+        A path that used to compile and stops doing so must not show up only
+        as a silently-missing JSON key: the driver needs a nonzero exit.
+        """
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            extra_latency[f"{name}_error"] = type(e).__name__
+            bench_failures.append(f"{name}: {type(e).__name__}: {e}")
+
     if os.environ.get("BENCH_EXTRAS", "1") == "1" and not use_vmap_path:
         from jaxsim_tpu.ops import pallas_step as _ps
         from jaxsim_tpu.ops.contacts.relaxed_rigid import RelaxedRigidContacts
+        from jaxsim_tpu.ops.contacts.rigid import RigidContacts
 
-        # --- relaxed-rigid contacts on the fused path (BASELINE config 5) ---
-        try:
+        def measure_fused(eng_x, steps, tile, key, terr_off=None, reps_x=3):
+            """Median fused-rollout throughput for one engine config."""
+            st = _ps.tile_state(eng_x.init_state(batch_size, key=key))
+            run_x = jax.jit(
+                _ps.build_pallas_rollout(
+                    eng_x, steps, terr_off=terr_off is not None, tile_sub=tile
+                )
+            )
+            kw = {} if terr_off is None else {"terrOff": terr_off}
+            o = run_x(st, **kw)
+            jax.block_until_ready(o.p)
+            ts = []
+            for _ in range(reps_x):
+                t0 = time.perf_counter()
+                o = run_x(o, **kw)
+                jax.block_until_ready(o.p)
+                ts.append(time.perf_counter() - t0)
+            rate = batch_size * steps / sorted(ts)[reps_x // 2]
+            finite = bool(jnp.all(jnp.isfinite(o.p)).item())
+            return rate, finite
+
+        # --- relaxed-rigid contacts on the fused path ---
+        rr_steps = int(os.environ.get("BENCH_RR_STEPS", "200"))
+        # Measured fastest env tile for the relaxed-rigid humanoid:
+        # (16, 128) — 10.15M vs 9.91M at (8,128) and 9.77M at (32,128)
+        # (PCG-iteration-bound, so tile overhead is a small lever).
+        rr_tile = int(os.environ.get("BENCH_RR_TILE", "16"))
+
+        def bench_relaxed_rigid():
             model_rr = js.JaxSimModel.build_from_model_description(
                 models.build_humanoid_urdf(),
                 contact_model=RelaxedRigidContacts(),
                 integrator=integrator,
             )
-            eng_rr = BatchedEngine.build(model_rr)
-            st_rr = _ps.tile_state(
-                eng_rr.init_state(batch_size, key=jax.random.PRNGKey(3))
+            rate, finite = measure_fused(
+                BatchedEngine.build(model_rr),
+                rr_steps,
+                rr_tile,
+                jax.random.PRNGKey(3),
             )
-            rr_steps = int(os.environ.get("BENCH_RR_STEPS", "200"))
-            # Measured fastest env tile for the relaxed-rigid humanoid:
-            # (16, 128) — 10.15M vs 9.91M at (8,128) and 9.77M at (32,128)
-            # (PCG-iteration-bound, so tile overhead is a small lever).
-            rr_tile = int(os.environ.get("BENCH_RR_TILE", "16"))
-            run_rr = jax.jit(
-                _ps.build_pallas_rollout(eng_rr, rr_steps, tile_sub=rr_tile)
+            extra_latency["env_steps_per_sec_relaxed_rigid_fused"] = round(rate, 1)
+            extra_latency["relaxed_rigid_finite"] = finite
+
+        run_extra("relaxed_rigid", bench_relaxed_rigid)
+
+        # --- BASELINE config 5 as specified: relaxed-rigid WITH RK4 on the
+        # fused path (the key above keeps the default-integrator number). ---
+        def bench_relaxed_rigid_rk4():
+            model_r4 = js.JaxSimModel.build_from_model_description(
+                models.build_humanoid_urdf(),
+                contact_model=RelaxedRigidContacts(),
+                integrator=IntegratorType.RungeKutta4,
             )
-            o = run_rr(st_rr)
-            jax.block_until_ready(o.p)
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                o = run_rr(o)
-                jax.block_until_ready(o.p)
-                ts.append(time.perf_counter() - t0)
-            extra_latency["env_steps_per_sec_relaxed_rigid_fused"] = round(
-                batch_size * rr_steps / sorted(ts)[1], 1
+            rate, finite = measure_fused(
+                BatchedEngine.build(model_r4),
+                int(os.environ.get("BENCH_RR_RK4_STEPS", "100")),
+                int(os.environ.get("BENCH_RR_RK4_TILE", "8")),
+                jax.random.PRNGKey(13),
             )
-            extra_latency["relaxed_rigid_finite"] = bool(
-                jnp.all(jnp.isfinite(o.p)).item()
+            extra_latency["env_steps_per_sec_relaxed_rigid_rk4_fused"] = round(
+                rate, 1
             )
-        except Exception as e:  # noqa: BLE001 — report, don't fail the bench
-            extra_latency["relaxed_rigid_error"] = f"{type(e).__name__}"
-            try:
-                # XLA engine fallback for the relaxed-rigid number.
-                st_rr = eng_rr.init_state(1024, key=jax.random.PRNGKey(3))
-                run_rr = jax.jit(lambda s: eng_rr.rollout(s, 50))
-                o = run_rr(st_rr)
-                jax.block_until_ready(o.p)
-                t0 = time.perf_counter()
-                o = run_rr(o)
-                jax.block_until_ready(o.p)
-                extra_latency["env_steps_per_sec_relaxed_rigid_engine"] = round(
-                    1024 * 50 / (time.perf_counter() - t0), 1
-                )
-            except Exception:  # noqa: BLE001
-                pass
+            extra_latency["relaxed_rigid_rk4_finite"] = finite
+
+        run_extra("relaxed_rigid_rk4", bench_relaxed_rigid_rk4)
 
         # --- rigid (QP) contacts on the fused path: matrix-free APGD
         # cone solve + inelastic impact projection in-kernel. ---
-        try:
-            from jaxsim_tpu.ops.contacts.rigid import RigidContacts
-
+        def bench_rigid():
             model_rq = js.JaxSimModel.build_from_model_description(
                 models.build_humanoid_urdf(),
                 contact_model=RigidContacts(),
@@ -245,34 +283,20 @@ def main() -> None:
                 import dataclasses as _dc
 
                 eng_rq = _dc.replace(eng_rq, rigid_iterations=rq_iters)
-            st_rq = _ps.tile_state(
-                eng_rq.init_state(batch_size, key=jax.random.PRNGKey(5))
+            rate, finite = measure_fused(
+                eng_rq,
+                int(os.environ.get("BENCH_RIGID_STEPS", "100")),
+                int(os.environ.get("BENCH_RIGID_TILE", "16")),
+                jax.random.PRNGKey(5),
             )
-            rq_steps = int(os.environ.get("BENCH_RIGID_STEPS", "100"))
-            rq_tile = int(os.environ.get("BENCH_RIGID_TILE", "16"))
-            run_rq = jax.jit(
-                _ps.build_pallas_rollout(eng_rq, rq_steps, tile_sub=rq_tile)
-            )
-            o = run_rq(st_rq)
-            jax.block_until_ready(o.p)
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                o = run_rq(o)
-                jax.block_until_ready(o.p)
-                ts.append(time.perf_counter() - t0)
-            extra_latency["env_steps_per_sec_rigid_fused"] = round(
-                batch_size * rq_steps / sorted(ts)[1], 1
-            )
-            extra_latency["rigid_finite"] = bool(
-                jnp.all(jnp.isfinite(o.p)).item()
-            )
-        except Exception as e:  # noqa: BLE001 — report, don't fail the bench
-            extra_latency["rigid_error"] = f"{type(e).__name__}"
+            extra_latency["env_steps_per_sec_rigid_fused"] = round(rate, 1)
+            extra_latency["rigid_finite"] = finite
+
+        run_extra("rigid", bench_rigid)
 
         # --- rough terrain: spectral FourierTerrain evaluated in-kernel,
         # with per-env terrain translation (domain-randomized patches). ---
-        try:
+        def bench_rough_terrain():
             from jaxsim_tpu.terrain import FourierTerrain
 
             model_ft = js.JaxSimModel.build_from_model_description(
@@ -284,34 +308,21 @@ def main() -> None:
             )
             model_ft = model_ft.replace(contact_params=params)
             eng_ft = BatchedEngine.build(model_ft)
-            st_ft = _ps.tile_state(
-                eng_ft.init_state(batch_size, key=jax.random.PRNGKey(6))
-            )
-            ft_steps = int(os.environ.get("BENCH_FT_STEPS", "200"))
+            st_probe = eng_ft.init_state(batch_size, key=jax.random.PRNGKey(6))
             off = 10.0 * jax.random.normal(
-                jax.random.PRNGKey(7), (2,) + st_ft.p.shape[1:]
+                jax.random.PRNGKey(7), (2,) + _ps.tile_state(st_probe).p.shape[1:]
             )
-            run_ft = jax.jit(
-                _ps.build_pallas_rollout(
-                    eng_ft, ft_steps, terr_off=True, tile_sub=tile_sub
-                )
+            rate, finite = measure_fused(
+                eng_ft,
+                int(os.environ.get("BENCH_FT_STEPS", "200")),
+                tile_sub,
+                jax.random.PRNGKey(6),
+                terr_off=off,
             )
-            o = run_ft(st_ft, terrOff=off)
-            jax.block_until_ready(o.p)
-            ts = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                o = run_ft(o, terrOff=off)
-                jax.block_until_ready(o.p)
-                ts.append(time.perf_counter() - t0)
-            extra_latency["env_steps_per_sec_rough_terrain"] = round(
-                batch_size * ft_steps / sorted(ts)[1], 1
-            )
-            extra_latency["rough_terrain_finite"] = bool(
-                jnp.all(jnp.isfinite(o.p)).item()
-            )
-        except Exception as e:  # noqa: BLE001 — report, don't fail the bench
-            extra_latency["rough_terrain_error"] = f"{type(e).__name__}"
+            extra_latency["env_steps_per_sec_rough_terrain"] = round(rate, 1)
+            extra_latency["rough_terrain_finite"] = finite
+
+        run_extra("rough_terrain", bench_rough_terrain)
 
         # --- gradient path (BASELINE config 4): policy grads through a
         # rollout. Preferred: fused Pallas forward AND backward kernels
@@ -345,7 +356,8 @@ def main() -> None:
             return grad_B * grad_steps / sorted(ts)[1], g
 
         if grad_backend == "fused":
-            try:
+
+            def bench_grad_fused():
                 grad_tile = int(os.environ.get("BENCH_GRAD_TILE", "8"))
                 v, g = measure_grad(
                     _ps.build_fused_diff_pallas_rollout(
@@ -356,11 +368,13 @@ def main() -> None:
                 extra_latency["grad_finite"] = bool(
                     jnp.all(jnp.isfinite(g)).item()
                 )
-            except Exception as e:  # noqa: BLE001
-                extra_latency["grad_fused_error"] = f"{type(e).__name__}"
+
+            run_extra("grad_fused", bench_grad_fused)
+            if "grad_fused_error" in extra_latency:
                 grad_backend = "xla"
         if grad_backend == "xla":
-            try:
+
+            def bench_grad_xla():
                 v, g = measure_grad(
                     _ps.build_diff_pallas_rollout(
                         eng_g, grad_steps, checkpoint_chunk=25, tile_sub=8
@@ -370,8 +384,8 @@ def main() -> None:
                 extra_latency["grad_finite"] = bool(
                     jnp.all(jnp.isfinite(g)).item()
                 )
-            except Exception as e:  # noqa: BLE001
-                extra_latency["grad_error"] = f"{type(e).__name__}"
+
+            run_extra("grad", bench_grad_xla)
 
     if os.environ.get("BENCH_FULL", "0") == "1":
         # BASELINE asks for B=1/1024 latencies too (generic step path).
@@ -426,10 +440,16 @@ def main() -> None:
             "path": bench_path if not use_vmap_path else "vmap",
             "integrator": integrator_name,
             "finite": bool(jnp.all(jnp.isfinite(out_leaf(out))).item()),
+            "ok": not bench_failures,
             **extra_latency,
         },
     }
     print(json.dumps(result))
+
+    if bench_failures and os.environ.get("BENCH_ALLOW_FAIL", "0") != "1":
+        for line in bench_failures:
+            print(f"# BENCH FAILURE: {line}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 import jaxsim_tpu.typing as jtp
-from jaxsim_tpu import ops
+from jaxsim_tpu import exceptions, ops
 from jaxsim_tpu.math import Quaternion, Transform
 from jaxsim_tpu.utils import pytree_dataclass
 
@@ -96,6 +96,9 @@ class JaxSimModelData(ModelDataWithVelocityRepresentation):
             if base_quaternion is not None
             else jnp.array([1.0, 0, 0, 0])
         )
+        # Runtime validation (CPU opt-in, JAXSIM_ENABLE_EXCEPTIONS=1):
+        # garbage quaternions fail loudly here instead of flowing into FK.
+        exceptions.validate_quaternion(W_Q_B)
         v_lin = (
             jnp.asarray(base_linear_velocity, dtype=float)
             if base_linear_velocity is not None

@@ -61,6 +61,12 @@ class JaxSimModel:
         default=IntegratorType.SemiImplicitEuler
     )
     gravity: float = static_field(default=-STANDARD_GRAVITY)
+    # Step backend: "auto" routes js.model.step through the BatchedEngine
+    # fast path whenever the configuration is inside its envelope (falls
+    # back to the generic path with a one-time warning otherwise);
+    # "generic" always uses the reference-style path; "engine" requires
+    # the fast path and raises if the model is outside its envelope.
+    backend: str = static_field(default="auto")
 
     time_step: jtp.Float = dataclasses.field(
         default_factory=lambda: jnp.array(1e-3, dtype=float)
@@ -90,6 +96,7 @@ class JaxSimModel:
         considered_joints: Sequence[str] | None = None,
         constraints: ConstraintMap | None = None,
         gravity: jtp.FloatLike = STANDARD_GRAVITY,
+        backend: str = "auto",
     ) -> "JaxSimModel":
         """Parse a URDF/SDF resource and build a model
         (reference ``api/model.py:128-223``)."""
@@ -113,6 +120,7 @@ class JaxSimModel:
             integrator=integrator,
             constraints=constraints,
             gravity=gravity,
+            backend=backend,
         )
         object.__setattr__(model, "built_from", HashlessObject(model_description))
         return model
@@ -130,9 +138,12 @@ class JaxSimModel:
         integrator: IntegratorType | None = None,
         constraints: ConstraintMap | None = None,
         gravity: jtp.FloatLike = STANDARD_GRAVITY,
+        backend: str = "auto",
     ) -> "JaxSimModel":
         """Build from an in-memory description
         (reference ``api/model.py:225-330``)."""
+        if backend not in ("auto", "generic", "engine"):
+            raise ValueError(f"unknown backend {backend!r}")
         from jaxsim_tpu.ops.actuation import ActuationParams
 
         model_name = model_name if model_name is not None else model_description.name
@@ -158,6 +169,7 @@ class JaxSimModel:
             contact_model=contact_model,
             integrator=integrator,
             gravity=-float(gravity),
+            backend=backend,
             time_step=time_step,
             kin_dyn_parameters=kin_dyn_parameters,
             contact_params=contact_params,
@@ -227,6 +239,7 @@ class JaxSimModel:
                 self.contact_model,
                 self.terrain,
                 self._fixed_base,
+                self.backend,
                 hash(self.kin_dyn_parameters),
             )
         )
@@ -274,6 +287,7 @@ def reduce(
         actuation_params=model.actuation_params,
         integrator=model.integrator,
         gravity=-model.gravity,
+        backend=model.backend,
     )
 
 
@@ -654,6 +668,19 @@ def free_floating_coriolis_matrix(model: JaxSimModel, data) -> jtp.Matrix:
         L_J,
     )
 
+    if not model.floating_base():
+        # Fixed-base models: the base link contributes nothing, and the
+        # base↔joint coupling blocks must be zero (reference
+        # ``api/model.py:1685-1693``).
+        C_base = jnp.einsum(
+            "ji,jk,km->im", L_J[0], M_L[0], L_Jd[0]
+        ) + jnp.einsum(
+            "ji,jk,km->im", L_J[0], Cross.vx_star(L_v_WL[0]) @ M_L[0], L_J[0]
+        )
+        C_body = C_body - C_base
+        C_body = C_body.at[0:6, 6:].set(0.0)
+        C_body = C_body.at[6:, 0:6].set(0.0)
+
     repr_ = data.velocity_representation
     if repr_ is VelRepr.Body:
         return C_body
@@ -838,6 +865,18 @@ def step(
     from . import actuation_model as js_actuation
     from . import integrators as js_integrators
 
+    # Fast-path auto-dispatch: when the model configuration is inside the
+    # BatchedEngine envelope (and there are no external link forces), the
+    # step routes through the engine — reference-style user code gets
+    # engine speed without hand-migrating to BatchedEngine (single
+    # entry-point ergonomics of reference ``api/model.py:2601``).
+    eng = _resolve_step_engine(model, link_forces)
+    if eng is not None:
+        tau_total = js_actuation.compute_resultant_torques(
+            model, data, joint_force_references=joint_force_references
+        )
+        return _engine_step(model, eng, data, tau_total)
+
     # External forces → inertial.
     W_f_L = (
         other_representation_to_inertial_links(model, data, link_forces)
@@ -860,6 +899,106 @@ def step(
 
     data_tf = model.contact_model.update_velocity_after_impact(model, data_tf)
     return data_tf
+
+
+_ENGINE_FALLBACK_WARNED: set = set()
+
+
+@functools.lru_cache(maxsize=32)
+def _build_step_engine(model):
+    from jaxsim_tpu.ops.batched_engine import BatchedEngine
+
+    # step() is usually called inside jit: ensure_compile_time_eval keeps
+    # the engine build's jnp ops on the (concrete, closed-over) model
+    # arrays eager — without it every constant becomes a tracer and the
+    # static freeze fails. A genuinely traced model still fails here and
+    # falls back to the generic path.
+    with jax.ensure_compile_time_eval():
+        return BatchedEngine.build(model)
+
+
+def _resolve_step_engine(model, link_forces):
+    """Engine for the step fast path, or None for the generic path."""
+    if model.backend == "generic":
+        return None
+
+    from jaxsim_tpu.utils.tracing import tracing
+
+    reason = None
+    if link_forces is not None:
+        reason = "external link forces are not lowered into the engine"
+    elif tracing(model.kin_dyn_parameters.link_parameters.mass):
+        # The engine freezes model arrays into static tuples: a model
+        # whose leaves are tracers (jit over the MODEL, or differentiating
+        # w.r.t. model parameters) cannot build one. Closing the model
+        # over the jit (the common pattern) keeps the fast path.
+        reason = "model arrays are traced (close the model over jit instead)"
+    else:
+        try:
+            return _build_step_engine(model)
+        except Exception as e:  # noqa: BLE001 — outside the engine envelope
+            reason = str(e)
+
+    if model.backend == "engine":
+        raise ValueError(f"backend='engine' requested but: {reason}")
+    key = (model.model_name, reason)
+    if key not in _ENGINE_FALLBACK_WARNED:
+        _ENGINE_FALLBACK_WARNED.add(key)
+        logging.warning(
+            f"js.model.step falls back to the generic path for model"
+            f" {model.model_name!r}: {reason}"
+        )
+    return None
+
+
+def _engine_step(model, eng, data, tau_total):
+    """One engine step on a SINGLE env's data (vmap adds batching)."""
+    from jaxsim_tpu.ops.batched_engine import BatchedState
+
+    m = data.contact_state.get("tangential_deformation")
+    if m is None or eng.n_points == 0:
+        m = jnp.zeros((eng.m_rows, 3))
+    elif eng.contact_model == "rigid":
+        # For rigid engines the m slot carries APGD warm-start forces —
+        # internal solver state the generic data doesn't track.
+        m = jnp.zeros((eng.m_rows, 3))
+    st = BatchedState(
+        s=data.joint_positions,
+        sd=data.joint_velocities,
+        p=data.base_position,
+        q=data.base_quaternion,
+        v=jnp.concatenate(
+            [
+                data.base_linear_velocity_inertial,
+                data.base_angular_velocity_inertial,
+            ]
+        ),
+        m=m,
+    )
+    out = eng.step(st, tau_total)
+
+    contact_state = data.contact_state
+    if eng.contact_model == "soft" and eng.n_points > 0:
+        contact_state = {"tangential_deformation": out.m[: eng.n_points]}
+
+    import jaxsim_tpu.api as js
+
+    new = js.JaxSimModelData.build(
+        model,
+        base_position=out.p,
+        base_quaternion=out.q,
+        joint_positions=out.s,
+        base_linear_velocity=out.v[0:3],
+        base_angular_velocity=out.v[3:6],
+        joint_velocities=out.sd,
+        velocity_representation=VelRepr.Inertial,
+        contact_state=contact_state,
+    )
+    # Internal storage is representation-invariant: restore the caller's
+    # active representation without touching the stored inertial state.
+    return dataclasses.replace(
+        new, velocity_representation=data.velocity_representation
+    )
 
 
 @named_scope

@@ -56,5 +56,46 @@ def raise_value_error_if(condition: jtp.BoolLike, msg: str, *args, **kwargs) -> 
     raise_if(condition, ValueError, msg, *args, **kwargs)
 
 
+def validate_quaternion(quaternion_wxyz) -> None:
+    """Runtime check on a base quaternion: NaN and non-unit norm.
+
+    Mirrors the reference's ``process_inputs`` validation on every RBDA
+    entry (``src/jaxsim/rbda/utils.py:136-146``). No-op unless
+    ``JAXSIM_ENABLE_EXCEPTIONS=1`` on CPU; TPU users should rely on
+    :func:`jaxsim_tpu.utils.nan_guard` sentinels instead.
+    """
+    if not _enabled():
+        return
+    import jax.numpy as jnp
+
+    q = jnp.asarray(quaternion_wxyz)
+    raise_runtime_error_if(
+        jnp.any(jnp.isnan(q)), "The quaternion contains NaN values."
+    )
+    raise_runtime_error_if(
+        jnp.abs(jnp.linalg.norm(q, axis=-1) - 1.0).max() > 1e-3,
+        "The quaternion is not normalized.",
+    )
+
+
+def validate_base_transform(base_transform) -> None:
+    """Runtime check on a 4x4 base transform: NaN and non-orthonormal
+    rotation block (the transform-level analog of the reference's
+    quaternion validation — our RBDA entry points take ``W_H_B``)."""
+    if not _enabled():
+        return
+    import jax.numpy as jnp
+
+    H = jnp.asarray(base_transform)
+    raise_runtime_error_if(
+        jnp.any(jnp.isnan(H)), "The base transform contains NaN values."
+    )
+    R = H[..., :3, :3]
+    err = jnp.abs(R @ jnp.swapaxes(R, -1, -2) - jnp.eye(3)).max()
+    raise_runtime_error_if(
+        err > 1e-3, "The base transform rotation block is not orthonormal."
+    )
+
+
 def raise_runtime_error_if(condition: jtp.BoolLike, msg: str, *args, **kwargs) -> None:
     raise_if(condition, RuntimeError, msg, *args, **kwargs)

@@ -131,7 +131,10 @@ def joint_transform(
     s = float(joint_position)
     axis = np.asarray(joint_axis, dtype=float).squeeze()
     if joint_type == JointType.Revolute:
-        H[:3, :3] = rodrigues(axis, s)
+        # s*axis is a ROTATION VECTOR (matches the traced
+        # supported_joint_motion): a non-unit URDF axis scales the angle.
+        rotvec = s * axis
+        H[:3, :3] = rodrigues(rotvec, float(np.linalg.norm(rotvec)))
     elif joint_type == JointType.Prismatic:
         H[:3, 3] = s * axis
     return H

@@ -301,8 +301,9 @@ def build_humanoid_urdf(name: str = "humanoid23") -> str:
 def build_quadruped_urdf(name: str = "quadruped12") -> str:
     """Floating-base quadruped with the standard 12-DoF layout (Go2/ANYmal
     class): per leg, hip abduction (roll, x), hip pitch (y), knee pitch (y).
-    13 links; box feet give 8 collision points each (32 total), fewer than
-    the humanoid's 48, so the fused hot path covers it directly.
+    13 links; box feet give 8 collision points per leg plus 8 trunk corners
+    (40 total), fewer than the humanoid's 48, so the fused hot path covers
+    it directly.
 
     Mirrors the reference test zoo's "floating-base legged robot" category
     (``/root/reference/tests/conftest.py:319-350`` uses ErgoCub; the zoo here

@@ -17,22 +17,34 @@ def mujoco_data_from_jaxsim(
     mujoco_data=None,
     update_removed_joints: bool = True,
 ):
-    """Copy the JaxSim state into an MjData (handles reduced models whose
-    locked joints don't exist in the MJCF)."""
+    """Copy the JaxSim state into an MjData.
+
+    When replaying a REDUCED model inside an MJCF built from the FULL
+    description, ``update_removed_joints=True`` (default) sets the joints
+    locked away by the reduction to their stored locked positions
+    (``description.joints_removed[*].initial_position``) instead of leaving
+    them at 0 — reference ``src/jaxsim/mujoco/utils.py:40-105``.
+    """
     data = mujoco_data if mujoco_data is not None else mujoco.MjData(mujoco_model)
 
-    offset = 0
     if jaxsim_model.floating_base():
         data.qpos[0:3] = np.asarray(jaxsim_data.base_position)
         data.qpos[3:7] = np.asarray(jaxsim_data.base_orientation)
-        offset = 7
+
+    def set_joint(name: str, value: float) -> None:
+        jid = mujoco.mj_name2id(mujoco_model, mujoco.mjtObj.mjOBJ_JOINT, name)
+        if jid >= 0:
+            data.qpos[mujoco_model.jnt_qposadr[jid]] = value
 
     s = np.asarray(jaxsim_data.joint_positions)
+    model_joint_names = set(jaxsim_model.joint_names())
     for k, name in enumerate(jaxsim_model.joint_names()):
-        jid = mujoco.mj_name2id(mujoco_model, mujoco.mjtObj.mjOBJ_JOINT, name)
-        if jid < 0:
-            continue
-        data.qpos[mujoco_model.jnt_qposadr[jid]] = s[k]
+        set_joint(name, s[k])
+
+    if update_removed_joints:
+        for joint in jaxsim_model.description.joints_removed:
+            if joint.name not in model_joint_names:
+                set_joint(joint.name, float(joint.initial_position))
 
     mujoco.mj_forward(mujoco_model, data)
     return data

@@ -356,11 +356,15 @@ class BatchedEngine:
     # The default (ẑ, 0) keeps the specialized flat-ground code path.
     terrain_normal: tuple = (0.0, 0.0, 1.0)
     terrain_offset: float = 0.0
-    # Terrain kind: "plane" (static normal/offset above) or "fourier"
+    # Terrain kind: "plane" (static normal/offset above), "fourier"
     # (spectral rough terrain — height and analytic normal are elementwise
     # trig over the static spectrum in params()["terr"], so the fused
-    # kernel evaluates the terrain in-kernel; soft contacts only).
+    # kernel evaluates the terrain in-kernel), or "heightmap" (bilinear
+    # grid lookup — XLA engine only: the per-lane gathers don't lower to
+    # Mosaic). All three compose with all three contact models.
     terrain_kind: str = "plane"
+    # Heightmap extent (x0, x1, y0, y1) for terrain_kind == "heightmap".
+    terrain_extent: tuple = (-5.0, 5.0, -5.0, 5.0)
     # Fixed-step integrator: "sie" (semi-implicit Euler), "rk4", or
     # "rk4fast" (RK4 with contact forces frozen at t0) — mirrors the generic
     # api.integrators choices (reference ``api/integrators.py``).
@@ -456,22 +460,22 @@ class BatchedEngine:
                 _constraint_H1=_freeze(np.stack(H1)),
                 _constraint_H2=_freeze(np.stack(H2)),
             )
-        from jaxsim_tpu.terrain import FourierTerrain
+        from jaxsim_tpu.terrain import FourierTerrain, HeightmapTerrain
 
         terr = {}
         t_normal = (0.0, 0.0, 1.0)
         t_offset = 0.0
         if isinstance(model.terrain, FourierTerrain):
-            if not isinstance(model.contact_model, SoftContacts):
-                raise ValueError(
-                    "BatchedEngine supports Fourier terrain with soft"
-                    " contacts; use the generic js.model.step path for"
-                    " rigid/relaxed-rigid contacts on rough terrain"
-                )
             t_offset = float(model.terrain._h0)
             terr = dict(
                 terrain_kind="fourier",
                 _terrain_spec=_freeze(model.terrain.spectrum()),
+            )
+        elif isinstance(model.terrain, HeightmapTerrain):
+            terr = dict(
+                terrain_kind="heightmap",
+                terrain_extent=tuple(float(x) for x in model.terrain._extent),
+                _terrain_spec=_freeze(model.terrain._grid.get()),
             )
         elif isinstance(model.terrain, FlatTerrain):
             t_normal = tuple(
@@ -616,7 +620,7 @@ class BatchedEngine:
                 dict(
                     terr=jnp.asarray(np.asarray(self._terrain_spec), dtype=float)
                 )
-                if self.terrain_kind == "fourier"
+                if self.terrain_kind in ("fourier", "heightmap")
                 else {}
             ),
         )
@@ -810,6 +814,47 @@ class BatchedEngine:
             dhy = dhy + ky * c_
         return self.terrain_offset + h, dhx, dhy
 
+    def _heightmap_height_grad(self, pr, x, y):
+        """Bilinear height h(x, y) and analytic in-cell gradient over the
+        static grid in ``pr["terr"]`` (XLA engine path only — the per-lane
+        gathers don't lower to Mosaic). Same optional per-env
+        ``pr["terrOff"]`` translation as the Fourier terrain."""
+        grid = pr["terr"]
+        ny, nx = grid.shape
+        x0, x1, y0, y1 = self.terrain_extent
+        if "terrOff" in pr:
+            x = x - pr["terrOff"][0]
+            y = y - pr["terrOff"][1]
+        sx = (x1 - x0) / (nx - 1)
+        sy = (y1 - y0) / (ny - 1)
+        gx = jnp.clip((x - x0) / sx, 0.0, nx - 1 - 1e-6)
+        gy = jnp.clip((y - y0) / sy, 0.0, ny - 1 - 1e-6)
+        ix = jnp.floor(gx).astype(int)
+        iy = jnp.floor(gy).astype(int)
+        fx = gx - ix
+        fy = gy - iy
+        h00 = grid[iy, ix]
+        h01 = grid[iy, ix + 1]
+        h10 = grid[iy + 1, ix]
+        h11 = grid[iy + 1, ix + 1]
+        h = (
+            h00 * (1 - fx) * (1 - fy)
+            + h01 * fx * (1 - fy)
+            + h10 * (1 - fx) * fy
+            + h11 * fx * fy
+        )
+        dhx = ((h01 - h00) * (1 - fy) + (h11 - h10) * fy) / sx
+        dhy = ((h10 - h00) * (1 - fx) + (h11 - h01) * fx) / sy
+        return self.terrain_offset + h, dhx, dhy
+
+    def _terrain_height_grad(self, pr, x, y):
+        """Dispatch height/gradient for the rough terrain kinds."""
+        if self.terrain_kind == "fourier":
+            return self._fourier_height_grad(pr, x, y)
+        if self.terrain_kind == "heightmap":
+            return self._heightmap_height_grad(pr, x, y)
+        raise ValueError(f"not a rough terrain kind: {self.terrain_kind}")
+
     def soft_contact_forces(self, W_R, W_p, W_v, m, pr=None):
         """Hunt/Crossley per point; per-link 6D inertial forces (list of
         (6,*b) or None) and ṁ (nC,3,*b). Plane terrain with static normal
@@ -827,7 +872,7 @@ class BatchedEngine:
         eps = jnp.finfo(jnp.float32).eps
         ax, ay, az = self.terrain_normal
         off = self.terrain_offset
-        fourier = self.terrain_kind == "fourier"
+        fourier = self.terrain_kind in ("fourier", "heightmap")
         flat = (
             (ax, ay, az) == (0.0, 0.0, 1.0) and off == 0.0 and not fourier
         )
@@ -849,9 +894,10 @@ class BatchedEngine:
                 delta_dot = jnp.where(delta > 0, -pd[2], 0.0)
             elif fourier:
                 # Rough terrain: analytic height/normal from the spectrum
-                # (per-point, per-env batch-shaped normals; mirrors
-                # compute_penetration_data's δ = (h − z)·n̂_z).
-                h, dhx, dhy = self._fourier_height_grad(pr, pc[0], pc[1])
+                # or heightmap grid (per-point, per-env batch-shaped
+                # normals; mirrors compute_penetration_data's
+                # δ = (h − z)·n̂_z).
+                h, dhx, dhy = self._terrain_height_grad(pr, pc[0], pc[1])
                 inv_n = 1.0 / jnp.sqrt(dhx * dhx + dhy * dhy + 1.0)
                 axc, ayc, azc = -dhx * inv_n, -dhy * inv_n, inv_n
                 ndotv = axc * pd[0] + ayc * pd[1] + azc * pd[2]
@@ -1166,9 +1212,6 @@ class BatchedEngine:
         pr = pr if pr is not None else self.params()
         bshape = state.p.shape[1:]
         nL, nC = self.n_links, self.n_points
-        ax, ay, az = self.terrain_normal
-        off = self.terrain_offset
-        flat = (ax, ay, az) == (0.0, 0.0, 1.0) and off == 0.0
         mu = self.mu
         width = self.rr_width
         mid, power = self.rr_midpoint, self.rr_power
@@ -1186,27 +1229,21 @@ class BatchedEngine:
         if "gmul" in pr:
             gzb = gzb * pr["gmul"]
 
-        # Per-point constraint data.
+        # Per-point constraint data (geometry shared with the rigid path —
+        # handles plane AND rough {fourier, heightmap} terrain kinds with
+        # per-point batch-shaped normals).
+        geo = self._point_geometry(W_R, W_p, W_v, pr, bshape)
         pc_l, act_l, b_l, prec_l, rdiag_l, Lpb_l, Rp_l = [], [], [], [], [], [], []
         for c in range(nC):
-            parent = self.contact_parent[c]
-            Lp = pr["cpoint"][c]
-            Rp, pp, vp = W_R[parent], W_p[parent], W_v[parent]
-            Lpb = _bvec(Lp, 3, bshape)
-            pc = _rv(Rp, Lpb) + pp
-            omega = vp[3:6]
-            pd = vp[0:3] + _cross(omega, pc)
-
-            if flat:
-                delta = jnp.maximum(0.0, -pc[2])
-            else:
-                ndotp = ax * pc[0] + ay * pc[1] + az * pc[2]
-                delta = jnp.maximum(0.0, off - ndotp)
-            active = (delta > 0).astype(pc.dtype)
+            g = geo[c]
+            parent = g["parent"]
+            Rp, Lpb = g["Rp"], g["Lpb"]
+            pc, pd, omega = g["pc"], g["pd"], g["omega"]
+            delta, active = g["delta"], g["active"]
 
             # Impedance ξ per component of pos = −δ n̂ (elementwise sigmoid,
             # reference ``relaxed_rigid.py:525-653``).
-            n_hat = (ax, ay, az)
+            n_hat = g["n"] if g["n"] is not None else (0.0, 0.0, 1.0)
             xi, aref, coeff = [], [], []
             for j in range(3):
                 pos_j = -delta * n_hat[j]
@@ -1437,7 +1474,8 @@ class BatchedEngine:
         application (same geometry as the relaxed-rigid path)."""
         ax, ay, az = self.terrain_normal
         off = self.terrain_offset
-        flat = (ax, ay, az) == (0.0, 0.0, 1.0) and off == 0.0
+        rough = self.terrain_kind in ("fourier", "heightmap")
+        flat = (ax, ay, az) == (0.0, 0.0, 1.0) and off == 0.0 and not rough
         geo = []
         for c in range(self.n_points):
             parent = self.contact_parent[c]
@@ -1449,15 +1487,25 @@ class BatchedEngine:
             if flat:
                 delta = jnp.maximum(0.0, -pc[2])
                 delta_dot = -pd[2]
+                n = None  # world-z cone fast path
+            elif rough:
+                # Per-point, batch-shaped terrain normal from the analytic
+                # (Fourier) or bilinear (heightmap) surface gradient.
+                h, dhx, dhy = self._terrain_height_grad(pr, pc[0], pc[1])
+                inv_n = 1.0 / jnp.sqrt(dhx * dhx + dhy * dhy + 1.0)
+                n = (-dhx * inv_n, -dhy * inv_n, inv_n)
+                delta = jnp.maximum(0.0, (h - pc[2]) * n[2])
+                delta_dot = -(n[0] * pd[0] + n[1] * pd[1] + n[2] * pd[2])
             else:
                 ndotp = ax * pc[0] + ay * pc[1] + az * pc[2]
                 delta = jnp.maximum(0.0, off - ndotp)
                 delta_dot = -(ax * pd[0] + ay * pd[1] + az * pd[2])
+                n = (ax, ay, az)
             active = (delta > 0).astype(pc.dtype)
             geo.append(
                 dict(
                     parent=parent, Lpb=Lpb, Rp=Rp, pc=pc, pd=pd, omega=omega,
-                    delta=delta, delta_dot=delta_dot, active=active,
+                    delta=delta, delta_dot=delta_dot, active=active, n=n,
                 )
             )
         return geo
@@ -1488,23 +1536,48 @@ class BatchedEngine:
         return out
 
     @staticmethod
-    def _project_friction_cone(p, mu, active):
-        """Moreau projection of a 3D point force (px, py, pn) onto the
-        friction cone {‖f_t‖ ≤ μ f_n, f_n ≥ 0}, zeroed for inactive
-        points. The reference linearizes the cone into a pyramid because
-        its qpax QP needs linear constraints
+    def _project_friction_cone(p, mu, active, n=None):
+        """Moreau projection of a 3D world point force onto the friction
+        cone {‖f_t‖ ≤ μ f_n, f_n ≥ 0} about the contact normal, zeroed for
+        inactive points. The reference linearizes the cone into a pyramid
+        because its qpax QP needs linear constraints
         (``rbda/contacts/rigid.py:474-500``); the projection operator
         handles the exact cone, which is both cheaper (elementwise) and
-        physically isotropic."""
-        px, py, pn = p
-        ft = jnp.sqrt(px * px + py * py + 1e-24)
-        in_cone = ft <= mu * pn
-        in_polar = mu * ft <= -pn
-        fn_b = (mu * ft + pn) / (1.0 + mu * mu)
-        scale = mu * fn_b / ft
-        fx = jnp.where(in_cone, px, jnp.where(in_polar, 0.0, px * scale))
-        fy = jnp.where(in_cone, py, jnp.where(in_polar, 0.0, py * scale))
-        fz = jnp.where(in_cone, pn, jnp.where(in_polar, 0.0, fn_b))
+        physically isotropic.
+
+        ``n=None`` is the flat-ground fast path (normal = ẑ). Otherwise
+        ``n`` is a 3-tuple (static floats for an inclined plane,
+        batch-shaped arrays for rough terrain): the force is rotated into
+        the contact frame with the minimal rotation taking ẑ → n̂
+        (elementwise Rodrigues; n̂_z > 0 for any walkable terrain keeps it
+        well-conditioned), projected, and rotated back."""
+
+        def project_z(px, py, pn):
+            ft = jnp.sqrt(px * px + py * py + 1e-24)
+            in_cone = ft <= mu * pn
+            in_polar = mu * ft <= -pn
+            fn_b = (mu * ft + pn) / (1.0 + mu * mu)
+            scale = mu * fn_b / ft
+            fx = jnp.where(in_cone, px, jnp.where(in_polar, 0.0, px * scale))
+            fy = jnp.where(in_cone, py, jnp.where(in_polar, 0.0, py * scale))
+            fz = jnp.where(in_cone, pn, jnp.where(in_polar, 0.0, fn_b))
+            return fx, fy, fz
+
+        static_n = n is not None and all(isinstance(v, float) for v in n)
+        if n is None or (static_n and n == (0.0, 0.0, 1.0)):
+            fx, fy, fz = project_z(p[0], p[1], p[2])
+            return [active * fx, active * fy, active * fz]
+
+        nx, ny, nz = n
+        d = 1.0 / (1.0 + nz)
+        # R maps ẑ → n̂ (third column = n̂); local = Rᵀ p, world = R local.
+        lx = (1.0 - nx * nx * d) * p[0] - nx * ny * d * p[1] - nx * p[2]
+        ly = -nx * ny * d * p[0] + (1.0 - ny * ny * d) * p[1] - ny * p[2]
+        ln = nx * p[0] + ny * p[1] + nz * p[2]
+        qx, qy, qn = project_z(lx, ly, ln)
+        fx = (1.0 - nx * nx * d) * qx - nx * ny * d * qy + nx * qn
+        fy = -nx * ny * d * qx + (1.0 - ny * ny * d) * qy + ny * qn
+        fz = -nx * qx - ny * qy + nz * qn
         return [active * fx, active * fy, active * fz]
 
     def rigid_contact_forces(
@@ -1528,7 +1601,6 @@ class BatchedEngine:
         pr = pr if pr is not None else self.params()
         bshape = state.p.shape[1:]
         nL, nC = self.n_links, self.n_points
-        ax, ay, az = self.terrain_normal
         reg = self.rigid_reg
         mu = self.mu
         zb = jnp.zeros(bshape)
@@ -1553,7 +1625,7 @@ class BatchedEngine:
             wxpd = _cross(g["omega"], g["pd"])
             pdd = [acc[0] + wxpd[0], acc[1] + wxpd[1], acc[2] + gzb + wxpd[2]]
             bg = self.K * g["delta"] + self.D * g["delta_dot"]
-            n_hat = (ax, ay, az)
+            n_hat = g["n"] if g["n"] is not None else (0.0, 0.0, 1.0)
             q_l.append(
                 [g["active"] * (pdd[j] - bg * n_hat[j]) for j in range(3)]
             )
@@ -1579,6 +1651,10 @@ class BatchedEngine:
             Rp=[geo[c]["Rp"] for c in range(nC)],
             Lpb=[geo[c]["Lpb"] for c in range(nC)],
             q=[list(q_l[c]) for c in range(nC)],
+            # Per-point contact normals for the cone projection (None =
+            # flat ground; batch-shaped tracers for rough terrain must
+            # travel through the ops pytree, not closures).
+            nrm=[geo[c]["n"] for c in range(nC)],
             fact=fact,
             pr=pr,
         )
@@ -1628,6 +1704,7 @@ class BatchedEngine:
                     [state.m[c, 0], state.m[c, 1], state.m[c, 2]],
                     mu,
                     geo[c]["active"],
+                    geo[c]["n"],
                 )
                 for c in range(nC)
             ]
@@ -1647,7 +1724,9 @@ class BatchedEngine:
                         for j in range(3)
                     ]
                     x_n.append(
-                        self._project_friction_cone(p, mu, o["act"][c])
+                        self._project_friction_cone(
+                            p, mu, o["act"][c], o["nrm"][c]
+                        )
                     )
                 t_n = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
                 beta = (t - 1.0) / t_n
@@ -1676,7 +1755,9 @@ class BatchedEngine:
                     x_arr[c, j] - (Ax[c][j] + o["q"][c][j]) / Lc
                     for j in range(3)
                 ]
-                out.append(self._project_friction_cone(p, mu, o["act"][c]))
+                out.append(
+                self._project_friction_cone(p, mu, o["act"][c], o["nrm"][c])
+            )
             return stack_cj(out)
 
         # Implicit differentiation of the cone-projected fixed point

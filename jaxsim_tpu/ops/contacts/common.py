@@ -82,7 +82,24 @@ class ContactsParams(abc.ABC):
         from jaxsim_tpu.utils.tracing import tracing
 
         mass_leaf = model.kin_dyn_parameters.link_parameters.mass
-        eager = not any(map(tracing, (mass_leaf, stiffness, damping)))
+        # Every FloatLike input may be a tracer (e.g. differentiating the
+        # param estimation w.r.t. max_penetration): np ops on a tracer raise.
+        eager = not any(
+            map(
+                tracing,
+                (
+                    mass_leaf,
+                    stiffness,
+                    damping,
+                    max_penetration,
+                    damping_ratio,
+                    standard_gravity,
+                    number_of_active_collidable_points_steady_state,
+                    p,
+                    q,
+                ),
+            )
+        )
         xp = _np if eager else jnp
         m = xp.sum(xp.asarray(mass_leaf))
 

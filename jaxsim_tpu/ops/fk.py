@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 
 import jaxsim_tpu.typing as jtp
+from jaxsim_tpu import exceptions
 from jaxsim_tpu.math import Adjoint
 
 from .common import mv
@@ -30,6 +31,9 @@ def forward_kinematics_model(
     s = jnp.asarray(joint_positions, dtype=float)
     sd = jnp.asarray(joint_velocities, dtype=float)
     W_H_B = jnp.asarray(base_transform, dtype=float)
+    # Runtime validation (CPU opt-in): mirrors the reference's
+    # process_inputs quaternion checks (rbda/utils.py:136-146).
+    exceptions.validate_base_transform(W_H_B)
     W_v_WB = jnp.asarray(base_velocity_inertial, dtype=float)
 
     n_links = kdp.number_of_links()

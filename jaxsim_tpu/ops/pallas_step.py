@@ -41,6 +41,12 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 def engine_param_order(engine: BatchedEngine) -> tuple[str, ...]:
     """Names of the engine's numeric model arrays, in kernel-input order
     (relaxed-rigid engines carry the extra per-point inverse-mass blocks)."""
+    if engine.terrain_kind == "heightmap":
+        raise ValueError(
+            "heightmap terrain is XLA-engine only (its per-lane grid"
+            " gathers don't lower to Mosaic): use engine.rollout(), or"
+            " FourierTerrain for the fused kernels"
+        )
     base = ("S", "M", "axis", "lamH", "sucH", "cpoint")
     if engine.contact_model == "relaxed_rigid":
         base = base + ("rrMinv",)

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 
 import jaxsim_tpu.typing as jtp
+from jaxsim_tpu import exceptions
 from jaxsim_tpu.math import Adjoint, Cross
 
 from .common import gravity_sixd, mtv, mv
@@ -49,6 +50,9 @@ def rnea(
         else jnp.zeros((n_links, 6))
     )
     W_H_B = jnp.asarray(base_transform, dtype=float)
+    # Runtime validation (CPU opt-in): mirrors the reference's
+    # process_inputs quaternion checks (rbda/utils.py:136-146).
+    exceptions.validate_base_transform(W_H_B)
     W_v_WB = jnp.asarray(base_velocity_inertial, dtype=float)
     W_vd_WB = (
         jnp.asarray(base_acceleration_inertial, dtype=float)

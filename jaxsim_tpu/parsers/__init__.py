@@ -60,6 +60,11 @@ def build_model_description(
     else:
         from .sdf import parse_sdf as parse
 
+    # Hand the parser the original PATH when we have one: mesh references
+    # (package:// / relative) resolve against the model file's directory.
+    is_path = isinstance(model, pathlib.Path) or (
+        isinstance(model, str) and len(model) < 4096 and os.path.exists(model)
+    )
     (
         name,
         links,
@@ -69,7 +74,7 @@ def build_model_description(
         fixed_base,
         root_pose,
         base_link_name,
-    ) = parse(text)
+    ) = parse(pathlib.Path(model) if is_path else text)
 
     if considered_joints is None:
         considered_joints = [

@@ -92,8 +92,37 @@ def _parse_inertial(link_el: ET.Element) -> tuple[float, npt.NDArray]:
     return mass, M
 
 
+def _resolve_mesh_path(
+    filename: str, base_dir: pathlib.Path | None
+) -> pathlib.Path:
+    """Resolve a URDF mesh reference the way vendor models expect:
+    ``package://<pkg>/rest`` and ``model://<pkg>/rest`` resolve ``rest``
+    against the URDF's directory (and its parent, covering the common
+    ``<pkg>/urdf/model.urdf`` + ``<pkg>/meshes/*.stl`` layout);
+    ``file://`` strips the scheme; plain relative paths resolve against
+    the URDF's directory."""
+    for scheme in ("package://", "model://"):
+        if filename.startswith(scheme):
+            rest = pathlib.Path(filename[len(scheme) :])
+            # Drop the package name segment; search near the URDF.
+            sub = pathlib.Path(*rest.parts[1:]) if len(rest.parts) > 1 else rest
+            for root in filter(None, (base_dir, base_dir and base_dir.parent)):
+                for cand in (root / sub, root / rest):
+                    if cand.exists():
+                        return cand
+            return pathlib.Path(filename)  # unresolvable; caller will fail
+    if filename.startswith("file://"):
+        return pathlib.Path(filename[len("file://") :])
+    p = pathlib.Path(filename)
+    if not p.is_absolute() and base_dir is not None and (base_dir / p).exists():
+        return base_dir / p
+    return p
+
+
 def _parse_collisions(
-    link_el: ET.Element, link: LinkDescription
+    link_el: ET.Element,
+    link: LinkDescription,
+    base_dir: pathlib.Path | None = None,
 ) -> list[CollisionShape]:
     shapes: list[CollisionShape] = []
     for collision in link_el.findall("collision"):
@@ -125,7 +154,7 @@ def _parse_collisions(
                 continue
             from . import mesh_io
 
-            filename = mesh.get("filename", "")
+            filename = _resolve_mesh_path(mesh.get("filename", ""), base_dir)
             scale = np.fromstring(mesh.get("scale", "1 1 1"), sep=" ")
             vertices = mesh_io.load_mesh_vertices(filename) * scale
             shapes.append(collision_utils.create_mesh_collision(link, vertices, L_H_C))
@@ -150,9 +179,11 @@ def parse_urdf(
     root_pose, base_link_name).
     """
     text = urdf
+    base_dir = None
     if isinstance(urdf, pathlib.Path) or (
         isinstance(urdf, str) and len(urdf) < 4096 and os.path.exists(urdf)
     ):
+        base_dir = pathlib.Path(urdf).parent
         text = pathlib.Path(urdf).read_text()
 
     root = ET.fromstring(text)
@@ -311,7 +342,7 @@ def parse_urdf(
     for link_el in link_els:
         name = link_el.get("name")
         if name in links:
-            collisions.extend(_parse_collisions(link_el, links[name]))
+            collisions.extend(_parse_collisions(link_el, links[name], base_dir))
 
     root_pose = RootPose(
         root_position=world_H_base[:3, 3],

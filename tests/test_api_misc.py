@@ -196,3 +196,38 @@ def test_checkpoint_roundtrip(tmp_path, model):
     restored = load_checkpoint(tmp_path / "ckpt", data)
     assert_allclose(restored.joint_positions, data.joint_positions)
     assert_allclose(restored.base_position, data.base_position)
+
+
+def test_runtime_validation_wired(model):
+    """`raise_if` validation is WIRED into the library: a garbage quaternion
+    entering `data.build` or `ops.aba` raises under the CPU opt-in
+    (reference ``rbda/utils.py:136-146``)."""
+    from jaxsim_tpu import ops
+
+    os.environ["JAXSIM_ENABLE_EXCEPTIONS"] = "1"
+    try:
+        with pytest.raises(Exception):
+            js.JaxSimModelData.build(
+                model, base_quaternion=jnp.array([jnp.nan, 0.0, 0.0, 0.0])
+            )
+        with pytest.raises(Exception):
+            js.JaxSimModelData.build(
+                model, base_quaternion=jnp.array([0.5, 0.0, 0.0, 0.0])
+            )
+        # Non-orthonormal base transform at an RBDA entry point.
+        bad_H = jnp.eye(4).at[0, 0].set(2.0)
+        n = model.number_of_joints()
+        with pytest.raises(Exception):
+            ops.aba(
+                model.kin_dyn_parameters,
+                base_transform=bad_H,
+                joint_positions=jnp.zeros(n),
+                base_velocity_inertial=jnp.zeros(6),
+                joint_velocities=jnp.zeros(n),
+            )
+        # Valid inputs still pass.
+        js.JaxSimModelData.build(
+            model, base_quaternion=jnp.array([1.0, 0.0, 0.0, 0.0])
+        )
+    finally:
+        del os.environ["JAXSIM_ENABLE_EXCEPTIONS"]

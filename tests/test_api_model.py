@@ -140,6 +140,33 @@ def test_coriolis_matrix(humanoid_model, humanoid_data):
         assert_allclose(C @ nu, h - g, rtol=5e-3, atol=5e-3, err_msg=f"{repr_}")
 
 
+def test_coriolis_matrix_fixed_base():
+    """Fixed-base models zero the base↔joint coupling blocks of C
+    (reference ``api/model.py:1685-1693``), and C ν == h − g still holds
+    on the joint block."""
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_pendulum_urdf(num_links=2)
+    )
+    assert not model.floating_base()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    data = js.JaxSimModelData.build(
+        model,
+        joint_positions=jax.random.uniform(k1, (model.number_of_joints(),)),
+        joint_velocities=jax.random.normal(k2, (model.number_of_joints(),)),
+    )
+    for repr_ in ALL_REPRS:
+        d = with_repr(model, data, repr_)
+        C = js.model.free_floating_coriolis_matrix(model, d)
+        assert_allclose(C[0:6, 6:], jnp.zeros_like(C[0:6, 6:]), err_msg=f"{repr_}")
+        assert_allclose(C[6:, 0:6], jnp.zeros_like(C[6:, 0:6]), err_msg=f"{repr_}")
+        h = js.model.free_floating_bias_forces(model, d)
+        g = js.model.free_floating_gravity_forces(model, d)
+        nu = d.generalized_velocity
+        assert_allclose(
+            (C @ nu)[6:], (h - g)[6:], rtol=5e-3, atol=5e-3, err_msg=f"{repr_}"
+        )
+
+
 def test_link_bias_acceleration_consistency(humanoid_model, humanoid_data):
     """J̇ν from the derivative wrapper matches an FD of J ν over time."""
     model, data = humanoid_model, humanoid_data
@@ -478,3 +505,83 @@ def test_ergocub_dynamics_consistency(ergocub_model):
     out = run(d0)
     assert np.all(np.isfinite(np.asarray(out.base_position)))
     assert float(out.base_position[2]) > 0.3
+
+
+# ----- step backend auto-dispatch (round 3) -----
+
+
+def test_step_backend_auto_matches_generic(humanoid_model):
+    """backend="auto" (default) routes js.model.step through the
+    BatchedEngine fast path; trajectories match the generic path (tier T).
+    Reference-style user code gets engine speed with no code change."""
+    from jaxsim_tpu.api.model import _resolve_step_engine
+
+    assert humanoid_model.backend == "auto"
+    assert _resolve_step_engine(humanoid_model, None) is not None
+
+    m_gen = js.JaxSimModel.build_from_model_description(
+        models.build_humanoid_urdf(), backend="generic"
+    )
+    assert _resolve_step_engine(m_gen, None) is None
+
+    def mk(m):
+        return js.JaxSimModelData.build(
+            m,
+            base_position=jnp.array([0.0, 0.0, 0.85]),
+            joint_positions=0.05 * jnp.ones(m.number_of_joints()),
+        )
+
+    da, dg = mk(humanoid_model), mk(m_gen)
+    tau = 0.1 * jnp.ones(humanoid_model.number_of_joints())
+    step_a = jax.jit(
+        lambda d: js.model.step(humanoid_model, d, joint_force_references=tau)
+    )
+    step_g = jax.jit(lambda d: js.model.step(m_gen, d, joint_force_references=tau))
+    for _ in range(10):
+        da = step_a(da)
+        dg = step_g(dg)
+    assert_allclose(da.base_position, dg.base_position, rtol=1e-4, atol=1e-5)
+    assert_allclose(da.joint_positions, dg.joint_positions, rtol=1e-4, atol=1e-5)
+    assert_allclose(
+        da.base_linear_velocity_inertial,
+        dg.base_linear_velocity_inertial,
+        rtol=1e-3,
+        atol=1e-4,
+    )
+    # Velocity representation survives the engine round-trip.
+    assert da.velocity_representation == dg.velocity_representation
+
+
+def test_step_backend_fallback_and_engine_strict():
+    """Out-of-envelope configs fall back to the generic path under "auto"
+    and raise under backend="engine"; external link forces always use the
+    generic path."""
+    from jaxsim_tpu.api.model import _resolve_step_engine
+    from jaxsim_tpu.terrain import HeightmapTerrain
+
+    model = js.JaxSimModel.build_from_model_description(models.build_box_urdf())
+    # External link forces: generic path.
+    assert _resolve_step_engine(model, jnp.zeros((1, 6))) is None
+    # In-envelope, no forces: engine.
+    assert _resolve_step_engine(model, None) is not None
+
+    # backend="engine" with external forces raises.
+    m_strict = js.JaxSimModel.build_from_model_description(
+        models.build_box_urdf(), backend="engine"
+    )
+    with pytest.raises(ValueError, match="engine"):
+        _resolve_step_engine(m_strict, jnp.zeros((1, 6)))
+
+    # Heightmap terrain is inside the XLA-engine envelope since round 3.
+    m_h = js.JaxSimModel.build_from_model_description(
+        models.build_box_urdf(),
+        terrain=HeightmapTerrain.build(
+            heights=np.zeros((4, 4)), extent=(-2, 2, -2, 2)
+        ),
+    )
+    assert _resolve_step_engine(m_h, None) is not None
+
+    with pytest.raises(ValueError, match="backend"):
+        js.JaxSimModel.build_from_model_description(
+            models.build_box_urdf(), backend="nope"
+        )

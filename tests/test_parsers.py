@@ -145,3 +145,70 @@ def test_disable_collision_points():
     d = build_model_description(models.build_box_urdf())
     d.update_collision_shape_of_link("box_link", enabled=False)
     assert len(d.all_enabled_collidable_points()) == 0
+
+
+# ----- vendored real-robot package (mesh pipeline end-to-end) -----
+
+
+def test_vendor_arm_end_to_end(monkeypatch):
+    """Parse the vendored UR10-class arm package (URDF + binary STL meshes
+    via package:// URIs), with mesh collisions enabled: the full
+    parse → build → reduce → dynamics pipeline runs on a vendor-layout
+    robot (reference zoo analog, ``tests/conftest.py:207-350``)."""
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    import jaxsim_tpu.api as js
+
+    monkeypatch.setenv("JAXSIM_COLLISION_MESH_ENABLED", "1")
+    urdf = (
+        pathlib.Path(__file__).parent
+        / "assets"
+        / "vendor_arm"
+        / "urdf"
+        / "vendor_arm.urdf"
+    )
+    model = js.JaxSimModel.build_from_model_description(urdf)
+
+    assert model.fixed_base()
+    assert model.number_of_joints() == 6
+    # Deep fixed chain preserved as frames.
+    assert "flange" in model.frame_names()
+    assert "tool0" in model.frame_names()
+    # Mesh collision points extracted from the STL vertices.
+    n_points = len(
+        model.kin_dyn_parameters.contact_parameters.indices_of_enabled_collidable_points
+    )
+    assert n_points > 100  # 6 cylinders × 48 rim vertices + box corners
+
+    # tool0 pose at zero configuration is finite and below the full reach.
+    data = js.JaxSimModelData.build(model)
+    H_tool = js.frame.transform(
+        model, data, frame_index=js.frame.name_to_idx(model, frame_name="tool0")
+    )
+    assert np.all(np.isfinite(np.asarray(H_tool)))
+    assert float(jnp.linalg.norm(H_tool[:3, 3])) < 2.0
+
+    # Reduction to a 3-DoF shoulder/elbow arm preserves total mass.
+    reduced = js.model.reduce(
+        model, considered_joints=("joint_1", "joint_2", "joint_3")
+    )
+    assert reduced.number_of_joints() == 3
+    assert float(js.model.total_mass(reduced)) == pytest.approx(
+        float(js.model.total_mass(model)), rel=1e-6
+    )
+
+    # FD ∘ ID identity on the mesh-built model.
+    d = js.JaxSimModelData.build(
+        model,
+        joint_positions=jnp.array([0.3, -0.7, 1.1, -0.4, 0.6, 0.2]),
+        joint_velocities=0.1 * jnp.ones(6),
+    )
+    tau = jnp.array([1.0, -2.0, 0.5, 0.2, -0.1, 0.05])
+    _, sdd = js.model.forward_dynamics_aba(model, d, joint_forces=tau)
+    _, tau_back = js.model.inverse_dynamics(model, d, joint_accelerations=sdd)
+    np.testing.assert_allclose(
+        np.asarray(tau_back), np.asarray(tau), rtol=1e-3, atol=1e-3
+    )

@@ -107,3 +107,31 @@ def test_data_bridge_and_render():
     recorder = MujocoVideoRecorder(mj_model, mj_data, width=64, height=48)
     frame = recorder.render_frame()
     assert frame.shape == (48, 64, 3)
+
+
+def test_data_bridge_reduced_model_locked_joints():
+    """Replaying a REDUCED model in the FULL-model MJCF restores the locked
+    joints to their locked positions (reference ``mujoco/utils.py:40-105``)."""
+    import jax.numpy as jnp
+
+    urdf = models.build_humanoid_urdf()
+    full = js.JaxSimModel.build_from_model_description(urdf)
+    considered = tuple(n for n in full.joint_names() if n != "l_knee")
+    reduced = js.model.reduce(
+        full, considered_joints=considered, locked_joint_positions={"l_knee": -0.7}
+    )
+    data = js.JaxSimModelData.build(
+        reduced, base_position=jnp.array([0.0, 0.0, 0.9])
+    )
+
+    mj_model = mujoco.MjModel.from_xml_string(ModelToMjcf.convert(urdf))
+    mj_data = mujoco_data_from_jaxsim(mj_model, reduced, data)
+    helper = MujocoModelHelper(mj_model, mj_data)
+    assert helper.joint_position("l_knee") == pytest.approx(-0.7)
+
+    # Opting out leaves the locked joint at its MJCF default (0).
+    mj_data0 = mujoco_data_from_jaxsim(
+        mj_model, reduced, data, update_removed_joints=False
+    )
+    helper0 = MujocoModelHelper(mj_model, mj_data0)
+    assert helper0.joint_position("l_knee") == pytest.approx(0.0)

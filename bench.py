@@ -324,6 +324,93 @@ def main() -> None:
 
         run_extra("rough_terrain", bench_rough_terrain)
 
+        # --- rough terrain × relaxed-rigid: the round-3 lowering of
+        # per-point terrain normals into the hard-contact solvers. ---
+        def bench_rough_relaxed():
+            from jaxsim_tpu.terrain import FourierTerrain
+
+            model_fr = js.JaxSimModel.build_from_model_description(
+                models.build_humanoid_urdf(),
+                terrain=FourierTerrain.build(
+                    seed=0, num_components=8, amplitude=0.04, wavelength=0.7
+                ),
+                contact_model=RelaxedRigidContacts(),
+                integrator=integrator,
+            )
+            rate, finite = measure_fused(
+                BatchedEngine.build(model_fr),
+                int(os.environ.get("BENCH_FR_STEPS", "100")),
+                rr_tile,
+                jax.random.PRNGKey(9),
+            )
+            extra_latency["env_steps_per_sec_rough_relaxed_rigid"] = round(
+                rate, 1
+            )
+            extra_latency["rough_relaxed_rigid_finite"] = finite
+
+        run_extra("rough_relaxed_rigid", bench_rough_relaxed)
+
+        # --- per-env morphology (population co-design): every env
+        # simulates a differently-scaled robot inside one fused launch. ---
+        def bench_per_env_morphology():
+            from jaxsim_tpu.api.hw_parameters import (
+                ScalingFactors,
+                with_hw_metadata,
+            )
+
+            model_m = with_hw_metadata(
+                js.JaxSimModel.build_from_model_description(
+                    models.build_humanoid_urdf(), integrator=integrator
+                ).replace(contact_params=params)
+            )
+            eng_m = BatchedEngine.build(model_m)
+            nL = model_m.number_of_links()
+            key = jax.random.PRNGKey(11)
+            scalings = ScalingFactors(
+                dims=1.0
+                + 0.15 * jax.random.uniform(key, (batch_size, nL, 3)),
+                density=1.0
+                + 0.2
+                * jax.random.uniform(
+                    jax.random.fold_in(key, 1), (batch_size, nL)
+                ),
+            )
+            ov = jax.jit(
+                lambda sc: eng_m.per_env_hw_params(model_m, sc)
+            )(scalings)
+            tile = lambda tree: jax.tree.map(
+                lambda a: a.reshape(
+                    a.shape[:-1] + (a.shape[-1] // 128, 128)
+                ),
+                tree,
+            )
+            ov_t = tile(ov)
+            st_m = _ps.tile_state(
+                eng_m.init_state(batch_size, key=jax.random.PRNGKey(12))
+            )
+            steps_m = int(os.environ.get("BENCH_MORPH_STEPS", "200"))
+            run_m = jax.jit(
+                lambda st, o: _ps.build_pallas_rollout(
+                    eng_m, steps_m, morph=True, tile_sub=8
+                )(st, **o)
+            )
+            o = run_m(st_m, ov_t)
+            jax.block_until_ready(o.p)
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                o = run_m(o, ov_t)
+                jax.block_until_ready(o.p)
+                ts.append(time.perf_counter() - t0)
+            extra_latency["env_steps_per_sec_per_env_morphology"] = round(
+                batch_size * steps_m / sorted(ts)[1], 1
+            )
+            extra_latency["per_env_morphology_finite"] = bool(
+                jnp.all(jnp.isfinite(o.p)).item()
+            )
+
+        run_extra("per_env_morphology", bench_per_env_morphology)
+
         # --- gradient path (BASELINE config 4): policy grads through a
         # rollout. Preferred: fused Pallas forward AND backward kernels
         # (build_fused_diff_pallas_rollout); fallback: Pallas forward +

@@ -136,7 +136,11 @@ def _bc(a, bshape):
 
 def _bvec(v, n, bshape):
     """(n,) vector broadcast to (n, *b). Mosaic mode: scalar splats (no
-    rank-extending reshape, which Mosaic cannot lower)."""
+    rank-extending reshape, which Mosaic cannot lower). A vector that
+    ALREADY carries batch dims (per-env morphology overrides) passes
+    through untouched."""
+    if getattr(v, "ndim", 1) > 1:
+        return v
     if not _MOSAIC:
         return jnp.broadcast_to(_bc(v, bshape), (n,) + bshape)
     ones = jnp.ones(bshape)
@@ -144,7 +148,11 @@ def _bvec(v, n, bshape):
 
 
 def _bmat(M, n, m, bshape):
-    """(n,m) matrix broadcast to (n, m, *b) (Mosaic-safe)."""
+    """(n,m) matrix broadcast to (n, m, *b) (Mosaic-safe). A matrix that
+    ALREADY carries batch dims (per-env morphology overrides) passes
+    through untouched."""
+    if getattr(M, "ndim", 2) > 2:
+        return M
     if not _MOSAIC:
         return jnp.broadcast_to(_bc(M, bshape), (n, m) + bshape)
     ones = jnp.ones(bshape)
@@ -624,6 +632,41 @@ class BatchedEngine:
                 else {}
             ),
         )
+
+    def per_env_hw_params(self, model, scaling_factors) -> dict:
+        """Per-env MORPHOLOGY overrides from a batched ``ScalingFactors``
+        (leading env axis of length B): returns ``{"M", "cpoint", "lamH"}``
+        trailing-batch arrays to merge into ``pr`` (or pass as
+        ``rollout(domain=...)``) so every env simulates a differently-scaled
+        robot — population-based co-design at engine speed (the per-model
+        analog is reference ``api/model.py:2461-2593``).
+
+        The model must carry hw metadata (``js.hw_parameters.with_hw_metadata``).
+        Exact for soft-contact engines; relaxed-rigid/rigid engines keep the
+        NOMINAL ``rrMinv`` regularizer weights (the solve still converges,
+        with the impedance weights of the unscaled model).
+        """
+        import jaxsim_tpu.api as js
+
+        idx = np.asarray(
+            model.kin_dyn_parameters.contact_parameters.indices_of_enabled_collidable_points,
+            dtype=int,
+        )
+
+        def one(sf):
+            m2 = js.model.update_hw_parameters(model, sf)
+            kdp2 = m2.kin_dyn_parameters
+            return (
+                kdp2.link_parameters.spatial_inertia(),
+                kdp2.contact_parameters.point[idx]
+                if len(idx)
+                else jnp.zeros((1, 3)),
+                kdp2.joint_model.lambda_H_pre,
+            )
+
+        M, cp, lamH = jax.vmap(one)(scaling_factors)
+        mv = lambda a: jnp.moveaxis(a, 0, -1)
+        return {"M": mv(M), "cpoint": mv(cp), "lamH": mv(lamH)}
 
     @property
     def n_constraints(self) -> int:

@@ -636,13 +636,16 @@ def untile_state(state: BatchedState) -> BatchedState:
 
 
 def _rollout_kernel(engine: BatchedEngine, policy, n_steps: int,
-                    domain: bool, terr_off: bool, *refs):
+                    domain: bool, terr_off: bool, morph: bool, *refs):
     """Whole rollout in one kernel: the env-tile state lives in registers/VMEM
     across all ``n_steps`` — no HBM round-trips or kernel launches per step.
 
     With ``domain``, five extra per-env multiplier tiles (Kmul, Dmul,
     mumul, gmul, Mmul) randomize the contact parameters, gravity, and link
-    inertias at call time."""
+    inertias at call time. With ``morph``, three per-env MORPHOLOGY tiles
+    (M, cpoint, lamH — see ``BatchedEngine.per_env_hw_params``) replace
+    the shared model arrays: every env simulates a differently-scaled
+    robot inside the same launch."""
     order = engine_param_order(engine)
     (s_ref, sd_ref, p_ref, q_ref, v_ref, m_ref) = refs[:6]
     pr = {kk: refs[6 + i][:] for i, kk in enumerate(order)}
@@ -656,6 +659,11 @@ def _rollout_kernel(engine: BatchedEngine, policy, n_steps: int,
     if terr_off:
         pr["terrOff"] = refs[k][:]
         k += 1
+    if morph:
+        pr["M"], pr["cpoint"], pr["lamH"] = (
+            refs[k][:], refs[k + 1][:], refs[k + 2][:],
+        )
+        k += 3
     (s_out, sd_out, p_out, q_out, v_out, m_out) = refs[k:k + 6]
     state0 = (s_ref[:], sd_ref[:], p_ref[:], q_ref[:], v_ref[:], m_ref[:])
 
@@ -1146,7 +1154,7 @@ def build_pallas_env_rollout(
 
 def build_pallas_rollout(
     engine: BatchedEngine, n_steps: int, policy=None, domain: bool = False,
-    terr_off: bool = False, tile_sub: int | None = None,
+    terr_off: bool = False, morph: bool = False, tile_sub: int | None = None,
 ):
     """Return a jittable rollout advancing ``n_steps`` inside ONE kernel
     launch per batch tile (state shapes as in build_pallas_step).
@@ -1163,11 +1171,12 @@ def build_pallas_rollout(
     if terr_off and engine.terrain_kind != "fourier":
         raise ValueError("terr_off requires a FourierTerrain engine")
     kernel = functools.partial(
-        _rollout_kernel, engine, policy, n_steps, domain, terr_off
+        _rollout_kernel, engine, policy, n_steps, domain, terr_off, morph
     )
 
     def rollout(state: BatchedState, Kmul=None, Dmul=None, mumul=None,
-                gmul=None, Mmul=None, terrOff=None):
+                gmul=None, Mmul=None, terrOff=None, M=None, cpoint=None,
+                lamH=None):
         B1 = state.p.shape[-2]
         assert B1 % tile_sub == 0
         grid = (B1 // tile_sub,)
@@ -1222,6 +1231,25 @@ def build_pallas_rollout(
                 )
             extra_in = extra_in + [off]
             extra_specs = extra_specs + [spec((2,))]
+        if morph:
+            # Per-env morphology tiles (see BatchedEngine.per_env_hw_params;
+            # tile the trailing env axis with tile_state/jax.tree.map first).
+            tile = state.p.shape[1:]
+            nL = engine.n_links
+            nJ = engine.n_joints
+            for name, a, lead in (
+                ("M", M, (nL, 6, 6)),
+                ("cpoint", cpoint, (max(engine.n_points, 1), 3)),
+                ("lamH", lamH, (1 + nJ, 4, 4)),
+            ):
+                if a is None:
+                    raise ValueError(f"morph=True requires the {name} tile")
+                if a.shape != lead + tile:
+                    raise ValueError(
+                        f"{name} must have shape {lead + tile}; got {a.shape}"
+                    )
+                extra_in = extra_in + [jnp.asarray(a, dtype=jnp.float32)]
+                extra_specs = extra_specs + [spec(lead)]
         out_shapes = [
             jax.ShapeDtypeStruct(a.shape, a.dtype)
             for a in (state.s, state.sd, state.p, state.q, state.v, state.m)

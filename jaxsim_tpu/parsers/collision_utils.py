@@ -23,7 +23,13 @@ from .descriptions.link import LinkDescription
 
 
 def fibonacci_sphere(samples: int) -> npt.NDArray:
-    """Uniformly-distributed unit-sphere points (golden-angle spiral)."""
+    """Uniformly-distributed unit-sphere points (golden-angle spiral).
+
+    ``samples == 1`` degenerates to the single ground-facing point
+    ``(0, 0, -1)`` (the spiral needs ≥ 2 points; one point is only useful
+    for minimal ground-contact models)."""
+    if samples == 1:
+        return np.array([(0.0, 0.0, -1.0)])
     points = []
     phi = np.pi * (3.0 - np.sqrt(5.0))
     for i in range(samples):

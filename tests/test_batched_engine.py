@@ -260,7 +260,7 @@ def test_pallas_interpret_small_model():
 
     from jaxsim_tpu.ops import pallas_step as ps
 
-    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    model = _tiny_floating_model()
     eng = BatchedEngine.build(model)
     st = eng.init_state(1024, key=jax.random.PRNGKey(0))
     policy = lambda s: -5.0 * s.s - 0.1 * s.sd
@@ -280,7 +280,7 @@ def test_pallas_rollout_kernel_interpret_small_model():
 
     from jaxsim_tpu.ops import pallas_step as ps
 
-    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    model = _tiny_floating_model()
     eng = BatchedEngine.build(model)
     st = eng.init_state(1024, key=jax.random.PRNGKey(1))
     policy = lambda s: -5.0 * s.s - 0.1 * s.sd
@@ -851,10 +851,8 @@ def test_engine_relaxed_rigid_box_equivalence(prng_key):
     )
 
 
-@pytest.mark.parametrize(
-    "integrator_name",
-    ["sie", pytest.param("rk4", marks=pytest.mark.slow)],
-)
+@pytest.mark.slow
+@pytest.mark.parametrize("integrator_name", ["sie", "rk4"])
 def test_engine_relaxed_rigid_garpez_equivalence(integrator_name, prng_key):
     """Articulated floating-base model on relaxed-rigid contacts (SIE and
     RK4): engine trajectories match the generic path (tier C/T)."""
@@ -1259,10 +1257,8 @@ def test_engine_rigid_box_equivalence(prng_key):
     )
 
 
-@pytest.mark.parametrize(
-    "integrator_name",
-    ["sie", pytest.param("rk4", marks=pytest.mark.slow)],
-)
+@pytest.mark.slow
+@pytest.mark.parametrize("integrator_name", ["sie", "rk4"])
 def test_engine_rigid_garpez_equivalence(integrator_name, prng_key):
     """Articulated floating-base model on rigid contacts (SIE and RK4):
     engine trajectories match the generic path (tier C/T)."""
@@ -1311,6 +1307,7 @@ def test_engine_rigid_garpez_equivalence(integrator_name, prng_key):
     )
 
 
+@pytest.mark.slow
 def test_engine_relaxed_rigid_step_gradient():
     """Reverse-mode through the relaxed-rigid engine step is finite and
     matches finite differences: the PCG is differentiated implicitly via
@@ -1339,6 +1336,7 @@ def test_engine_relaxed_rigid_step_gradient():
     assert_allclose(g, fd, rtol=0.15, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_engine_rigid_step_gradient(prng_key):
     """Reverse-mode through the rigid engine step (APGD forces + impact
     projection) is finite and matches finite differences: both solves are
@@ -1487,6 +1485,7 @@ def test_engine_weld_step_gradient():
     assert_allclose(g, fd, rtol=0.15, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_pallas_step_weld_interpret():
     """The fused Pallas step runs the weld-constraint Delassus assembly +
     Cholesky solve in-kernel (interpret mode) and matches the XLA engine
@@ -1591,6 +1590,7 @@ def test_engine_fourier_terrain_per_env_offset():
     assert np.std(z) > 1e-4
 
 
+@pytest.mark.slow
 def test_pallas_step_fourier_interpret():
     """The fused Pallas step evaluates the terrain spectrum in-kernel
     (interpret mode) and matches the XLA engine step."""
@@ -1868,10 +1868,12 @@ def test_engine_accepts_all_terrain_contact_combos(terrain_kind, contact):
 # ----- interpret-mode coverage of the params-grad backward kernel -----
 
 
-def _tiny_floating_model(monkeypatch):
+def _tiny_floating_model(**kwargs):
     """Smallest contact-bearing articulated model: floating sphere base
-    (ONE collision point) + one revolute joint — keeps the interpret-mode
-    graph of the fused backward kernel small enough for the default tier."""
+    (ONE collision point) + one revolute joint — keeps interpret-mode
+    Pallas graphs small enough for the default tier."""
+    import os
+
     from jaxsim_tpu.models.builders import (
         _joint,
         _link,
@@ -1879,7 +1881,8 @@ def _tiny_floating_model(monkeypatch):
         _sphere_inertia,
     )
 
-    monkeypatch.setenv("JAXSIM_COLLISION_SPHERE_POINTS", "1")
+    old = os.environ.get("JAXSIM_COLLISION_SPHERE_POINTS")
+    os.environ["JAXSIM_COLLISION_SPHERE_POINTS"] = "1"
     urdf = (
         '<robot name="tiny">'
         + _link(
@@ -1890,20 +1893,28 @@ def _tiny_floating_model(monkeypatch):
         + _link("tip", 0.3, _sphere_inertia(0.3, 0.05), com=(0, 0, 0.05))
         + "</robot>"
     )
-    return js.JaxSimModel.build_from_model_description(urdf)
+    try:
+        return js.JaxSimModel.build_from_model_description(urdf, **kwargs)
+    finally:
+        if old is None:
+            os.environ.pop("JAXSIM_COLLISION_SPHERE_POINTS", None)
+        else:
+            os.environ["JAXSIM_COLLISION_SPHERE_POINTS"] = old
 
 
-def test_fused_diff_pallas_step_params_grad_interpret(monkeypatch):
+@pytest.mark.slow
+def test_fused_diff_pallas_step_params_grad_interpret():
     """params_grad=True model cotangents (link inertias, contact points,
     joint placements) from the fused backward kernel match jax.grad of the
     XLA engine step — INTERPRET-MODE version of
     test_fused_diff_pallas_step_params_grad_tpu, so CPU CI covers the
-    co-design gradient path (VERDICT r2 weak #7)."""
+    co-design gradient path. Slow tier: even on this 2-link model the
+    interpret-mode backward graph takes ~18 min to compile on CPU."""
     from jax.experimental.pallas import tpu as pltpu
 
     from jaxsim_tpu.ops import pallas_step as ps
 
-    model = _tiny_floating_model(monkeypatch)
+    model = _tiny_floating_model()
     eng = BatchedEngine.build(model)
     assert eng.n_points == 1
     st = ps.tile_state(eng.init_state(1024, key=jax.random.PRNGKey(31)))
@@ -1938,3 +1949,149 @@ def test_fused_diff_pallas_step_params_grad_interpret(monkeypatch):
         )
         nonzero += int(float(jnp.abs(jnp.asarray(g[k])).max()) > 0)
     assert nonzero >= 3  # inertias, contact point, joint placement all live
+
+
+@pytest.mark.parametrize("contact", ["rigid", "relaxed_rigid"])
+def test_engine_hard_contact_step_gradient_tiny(contact):
+    """Default-tier AD coverage of the implicit contact-solver VJPs on the
+    tiny 2-link model (the garpez versions are `slow`): reverse-mode
+    through the engine step is finite and matches finite differences."""
+    import dataclasses as dc
+
+    if contact == "rigid":
+        from jaxsim_tpu.ops.contacts.rigid import (
+            RigidContacts,
+            RigidContactsParams,
+        )
+
+        model = _tiny_floating_model(
+            contact_model=RigidContacts(),
+            contact_params=RigidContactsParams.build(
+                mu=1.0, K=1e3, D=2 * np.sqrt(1e3)
+            ),
+        )
+        eng = dc.replace(BatchedEngine.build(model), rigid_iterations=6)
+    else:
+        from jaxsim_tpu.ops.contacts.relaxed_rigid import RelaxedRigidContacts
+
+        model = _tiny_floating_model(contact_model=RelaxedRigidContacts())
+        eng = dc.replace(BatchedEngine.build(model), rr_iterations=8)
+    assert eng.n_points == 1
+    st0 = eng.init_state(1, base_position=(0.0, 0.0, 0.08))
+
+    def loss(kp):
+        st = st0
+        for _ in range(2):
+            st = eng.step(st, -kp * st.s - 0.1 * st.sd)
+        return jnp.sum(st.sd**2) + jnp.sum(st.p**2)
+
+    g = jax.jit(jax.grad(loss))(15.0)
+    assert np.isfinite(float(g))
+    fd = (loss(15.0 + 1e-2) - loss(15.0 - 1e-2)) / 2e-2
+    assert_allclose(g, fd, rtol=0.15, atol=1e-8)
+
+
+# ----- per-env morphology (population co-design) in the engine -----
+
+
+def test_per_env_morphology_matches_separate_engines():
+    """per_env_hw_params: one engine stepping B differently-SCALED robots
+    (per-env M / contact points / joint placements threaded through pr)
+    matches B separately-built engines from update_hw_parameters — the
+    population analog of reference ``api/model.py:2461-2593``."""
+    import jaxsim_tpu.api as js
+    from jaxsim_tpu.api.hw_parameters import ScalingFactors, with_hw_metadata
+
+    model = with_hw_metadata(
+        js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    )
+    eng = BatchedEngine.build(model)
+    nL = model.number_of_links()
+
+    B = 3
+    dims = jnp.stack(
+        [
+            jnp.ones((nL, 3)),
+            1.15 * jnp.ones((nL, 3)),
+            jnp.concatenate(
+                [0.9 * jnp.ones((nL // 2, 3)), 1.2 * jnp.ones((nL - nL // 2, 3))]
+            ),
+        ]
+    )
+    density = jnp.stack(
+        [jnp.ones(nL), 0.8 * jnp.ones(nL), 1.3 * jnp.ones(nL)]
+    )
+    scalings = ScalingFactors(dims=dims, density=density)
+
+    overrides = eng.per_env_hw_params(model, scalings)
+    assert overrides["M"].shape == (nL, 6, 6, B)
+
+    # Nonzero joints + near-ground start: free fall alone is morphology-
+    # invariant, so the scenario must couple inertia/contact geometry.
+    import dataclasses as dc
+
+    s0 = jnp.array([0.4, -0.3, 0.25])[: eng.n_joints]
+    st = eng.init_state(B, base_position=(0.0, 0.0, 0.28))
+    st = dc.replace(st, s=s0[:, None] * jnp.ones_like(st.s))
+    pr = {**eng.params(), **overrides}
+    tau_fn = lambda s, sd: -8.0 * s - 0.2 * sd
+    step_pop = jax.jit(lambda s: eng.step(s, tau_fn(s.s, s.sd), pr))
+    for _ in range(60):
+        st = step_pop(st)
+
+    # Reference: one engine per scaled model, B=1 each.
+    for b in range(B):
+        sf_b = jax.tree.map(lambda a: a[b], scalings)
+        model_b = js.model.update_hw_parameters(model, sf_b)
+        eng_b = BatchedEngine.build(model_b)
+        st_b = eng_b.init_state(1, base_position=(0.0, 0.0, 0.28))
+        st_b = dc.replace(st_b, s=s0[:, None] * jnp.ones_like(st_b.s))
+        step_b = jax.jit(lambda s, e=eng_b: e.step(s, tau_fn(s.s, s.sd)))
+        for _ in range(60):
+            st_b = step_b(st_b)
+        assert_allclose(st.p[:, b], st_b.p[:, 0], rtol=1e-4, atol=1e-4)
+        assert_allclose(st.s[:, b], st_b.s[:, 0], rtol=1e-4, atol=1e-4)
+        assert_allclose(st.v[:, b], st_b.v[:, 0], rtol=1e-3, atol=1e-3)
+
+    # The three morphologies genuinely diverge from each other (joint
+    # trajectories are the sensitive observable over this short horizon).
+    assert float(jnp.std(st.s, axis=-1).max()) > 1e-3
+
+
+def test_pallas_rollout_morph_interpret():
+    """Per-env morphology tiles thread through the fused rollout kernel
+    (interpret mode) and match the XLA engine with the same overrides."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.api.hw_parameters import ScalingFactors, with_hw_metadata
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = with_hw_metadata(_tiny_floating_model())
+    eng = BatchedEngine.build(model)
+    B = 1024
+    nL = model.number_of_links()
+    key = jax.random.PRNGKey(44)
+    scalings = ScalingFactors(
+        dims=1.0 + 0.2 * jax.random.uniform(key, (B, nL, 3)),
+        density=1.0 + 0.3 * jax.random.uniform(jax.random.fold_in(key, 1), (B, nL)),
+    )
+    ov = eng.per_env_hw_params(model, scalings)
+
+    st = eng.init_state(B, base_position=(0.0, 0.0, 0.08))
+    policy = lambda s: -5.0 * s.s - 0.1 * s.sd
+    pr = {**eng.params(), **ov}
+    ref = eng.rollout(st, 3, policy=policy, domain=ov)
+
+    tile = lambda tree: jax.tree.map(
+        lambda a: a.reshape(a.shape[:-1] + (a.shape[-1] // 128, 128)), tree
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out = ps.untile_state(
+            ps.build_pallas_rollout(eng, 3, policy, morph=True)(
+                ps.tile_state(st), **tile(ov)
+            )
+        )
+    for f in ["s", "sd", "p", "q", "v", "m"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )

@@ -358,3 +358,114 @@ def test_floating_forward_dynamics_vs_mujoco(floating_pair, prng_key):
     acc_ours = np.concatenate([np.asarray(vd), np.asarray(sdd)])
     scale = max(1.0, float(np.abs(acc_mapped).max()))
     assert_allclose(acc_ours / scale, acc_mapped / scale, rtol=5e-4, atol=5e-4)
+
+
+# ----------------------------------------------------------------------
+# Jacobians, CoM / centroidal momentum, and a contact trajectory
+# (reference oracles these against iDynTree, ``tests/utils.py:135-509``)
+# ----------------------------------------------------------------------
+
+
+def test_floating_jacobians_vs_mujoco(floating_pair, prng_key):
+    """Mixed-representation link Jacobians vs mj_jacBody for every link:
+    J_mj maps qvel → (ṗ_body, ω_world); with T: ν_ours(Mixed) → qvel,
+    J_ours == [jacp; jacr] T."""
+    import jaxsim_tpu.api as js
+
+    model, mj_model, dof_addr = floating_pair
+    data = _random_floating_state(model, prng_key)
+    mj_data = _push_state_to_mujoco(model, data, mj_model, dof_addr)
+    T, _ = _mixed_to_mj_T(data, mj_model, dof_addr)
+
+    J_ours = np.asarray(
+        js.model.generalized_free_floating_jacobian(
+            model, data, output_vel_repr=js.VelRepr.Mixed
+        )
+    )
+    for li, name in enumerate(model.link_names()):
+        bid = mujoco.mj_name2id(mj_model, mujoco.mjtObj.mjOBJ_BODY, name)
+        assert bid >= 0, name
+        jacp = np.zeros((3, mj_model.nv))
+        jacr = np.zeros((3, mj_model.nv))
+        mujoco.mj_jacBody(mj_model, mj_data, jacp, jacr, bid)
+        J_mj = np.vstack([jacp, jacr]) @ T
+        assert_allclose(J_ours[li], J_mj, rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_com_and_centroidal_momentum_vs_mujoco(floating_pair, prng_key):
+    """CoM position vs subtree_com and centroidal momentum (G[W] frame)
+    vs (m·subtree_linvel, subtree_angmom) of the robot's root subtree."""
+    import jaxsim_tpu.api as js
+
+    model, mj_model, dof_addr = floating_pair
+    data = _random_floating_state(model, prng_key)
+    mj_data = _push_state_to_mujoco(model, data, mj_model, dof_addr)
+    mujoco.mj_subtreeVel(mj_model, mj_data)
+
+    root = 1  # body 0 is world; the robot root is the first real body
+    m_tot = float(js.model.total_mass(model))
+    assert m_tot == pytest.approx(float(mj_model.body_subtreemass[root]), rel=1e-5)
+
+    com_ours = np.asarray(js.com.com_position(model, data))
+    assert_allclose(com_ours, mj_data.subtree_com[root], rtol=1e-4, atol=1e-5)
+
+    h_ours = np.asarray(js.com.centroidal_momentum(model, data))
+    h_lin_mj = m_tot * np.array(mj_data.subtree_linvel[root])
+    h_ang_mj = np.array(mj_data.subtree_angmom[root])
+    scale = max(1.0, float(np.abs(np.concatenate([h_lin_mj, h_ang_mj])).max()))
+    assert_allclose(h_ours[0:3] / scale, h_lin_mj / scale, rtol=2e-4, atol=2e-4)
+    assert_allclose(h_ours[3:6] / scale, h_ang_mj / scale, rtol=2e-3, atol=2e-3)
+
+
+def test_box_drop_trajectory_vs_mujoco(prng_key):
+    """Box dropped on flat ground: the free-fall phase matches MuJoCo
+    tightly and the settled pose matches at model-gap tolerance (MuJoCo's
+    impedance contacts vs our Hunt/Crossley differ by the steady-state
+    penetration, a few mm)."""
+    import jax
+
+    import jaxsim_tpu.api as js
+    from jaxsim_tpu.mujoco.loaders import UrdfToMjcf
+
+    urdf = models.build_box_urdf()
+    model = js.JaxSimModel.build_from_model_description(urdf)
+    params = js.contact.estimate_good_contact_parameters(
+        model,
+        number_of_active_collidable_points_steady_state=4,
+        max_penetration=0.001,
+        damping_ratio=1.0,
+    )
+    model = model.replace(contact_params=params)
+
+    mj_model = mujoco.MjModel.from_xml_string(UrdfToMjcf.convert(urdf))
+    mj_model.opt.timestep = float(model.time_step)
+    mj_data = mujoco.MjData(mj_model)
+    z0 = 0.25
+    mj_data.qpos[0:3] = [0.0, 0.0, z0]
+    mj_data.qpos[3:7] = [1.0, 0.0, 0.0, 0.0]
+
+    data = js.JaxSimModelData.build(
+        model, base_position=jnp.array([0.0, 0.0, z0])
+    )
+    step = __import__("jax").jit(lambda d: js.model.step(model, d))
+
+    # Free fall: first 150 ms, before touchdown at z = 0.05 (half height).
+    for _ in range(150):
+        mujoco.mj_step(mj_model, mj_data)
+        data = step(data)
+    assert_allclose(
+        np.asarray(data.base_position), mj_data.qpos[0:3], rtol=1e-3, atol=1e-3
+    )
+
+    # Through impact and settling (0.6 s more).
+    for _ in range(600):
+        mujoco.mj_step(mj_model, mj_data)
+        data = step(data)
+    z_ours = float(data.base_position[2])
+    z_mj = float(mj_data.qpos[2])
+    # Both rest at ~half height minus their solver's penetration.
+    assert abs(z_ours - 0.05) < 0.01
+    assert abs(z_mj - 0.05) < 0.01
+    assert abs(z_ours - z_mj) < 0.01
+    v_ours = float(np.linalg.norm(np.asarray(data.base_velocity)[0:3]))
+    assert v_ours < 0.05

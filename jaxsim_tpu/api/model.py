@@ -240,6 +240,7 @@ class JaxSimModel:
                 self.terrain,
                 self._fixed_base,
                 self.backend,
+                self.gravity,
                 hash(self.kin_dyn_parameters),
             )
         )
@@ -902,19 +903,52 @@ def step(
 
 
 _ENGINE_FALLBACK_WARNED: set = set()
+_STEP_ENGINE_CACHE: dict = {}
 
 
-@functools.lru_cache(maxsize=32)
+def _model_numeric_leaves(model):
+    """The dynamic leaves the engine freezes into compile-time constants."""
+    return jax.tree.leaves(
+        (
+            model.time_step,
+            model.kin_dyn_parameters,
+            model.contact_params,
+            model.actuation_params,
+        )
+    )
+
+
 def _build_step_engine(model):
     from jaxsim_tpu.ops.batched_engine import BatchedEngine
 
-    # step() is usually called inside jit: ensure_compile_time_eval keeps
-    # the engine build's jnp ops on the (concrete, closed-over) model
-    # arrays eager — without it every constant becomes a tracer and the
-    # static freeze fails. A genuinely traced model still fails here and
-    # falls back to the generic path.
-    with jax.ensure_compile_time_eval():
-        return BatchedEngine.build(model)
+    # The engine freezes the model's NUMERIC content into static tuples, so
+    # the cache must key on that content — hash(model)/hash(kin_dyn) are
+    # deliberately topology-only (JIT recompile discipline) and would alias
+    # models differing only in time_step / gravity / masses / contact
+    # parameters to one stale engine.
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for leaf in _model_numeric_leaves(model):
+        a = np.asarray(leaf)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(a.tobytes())
+    key = (hash(model), float(model.gravity), h.digest())
+
+    eng = _STEP_ENGINE_CACHE.get(key)
+    if eng is None:
+        # step() is usually called inside jit: ensure_compile_time_eval keeps
+        # the engine build's jnp ops on the (concrete, closed-over) model
+        # arrays eager — without it every constant becomes a tracer and the
+        # static freeze fails. A genuinely traced model still fails here and
+        # falls back to the generic path.
+        with jax.ensure_compile_time_eval():
+            eng = BatchedEngine.build(model)
+        if len(_STEP_ENGINE_CACHE) >= 64:
+            _STEP_ENGINE_CACHE.clear()
+        _STEP_ENGINE_CACHE[key] = eng
+    return eng
 
 
 def _resolve_step_engine(model, link_forces):
@@ -927,7 +961,7 @@ def _resolve_step_engine(model, link_forces):
     reason = None
     if link_forces is not None:
         reason = "external link forces are not lowered into the engine"
-    elif tracing(model.kin_dyn_parameters.link_parameters.mass):
+    elif any(map(tracing, _model_numeric_leaves(model))):
         # The engine freezes model arrays into static tuples: a model
         # whose leaves are tracers (jit over the MODEL, or differentiating
         # w.r.t. model parameters) cannot build one. Closing the model

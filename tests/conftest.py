@@ -24,18 +24,35 @@ if not _USE_TPU:
 
 # Persistent compilation cache: the suite is compile-dominated (many jitted
 # physics graphs); repeat runs hit the cache and finish in minutes. The dir
-# is platform-suffixed: sharing one cache between this host's CPU tests and
-# tunneled-TPU sessions loads AOT CPU executables compiled for a DIFFERENT
-# machine type (the tunnel terminal snapshots its own compile env), which
-# can SIGILL mid-suite.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(
-        os.path.dirname(__file__),
-        "..",
-        ".jax_cache_tpu" if _USE_TPU else ".jax_cache_cpu",
-    ),
+# is platform-suffixed AND (for CPU) machine-fingerprinted: XLA:CPU caches
+# AOT executables specialized to the compiling host's ISA features, and
+# loading entries produced on a different machine (shared volume, container
+# migration) warns "could lead to execution errors such as SIGILL".
+def _cpu_cache_suffix() -> str:
+    import hashlib
+    import platform
+
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag += hashlib.blake2b(
+                        line.encode(), digest_size=4
+                    ).hexdigest()
+                    break
+    except OSError:
+        pass
+    return tag
+
+
+_cache_dir = os.path.join(
+    os.path.dirname(__file__),
+    "..",
+    ".jax_cache_tpu" if _USE_TPU else f".jax_cache_cpu_{_cpu_cache_suffix()}",
 )
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np

@@ -11,6 +11,13 @@ from jaxsim_tpu.ops.batched_engine import BatchedEngine
 from tests.conftest import assert_allclose
 
 
+def _generic(model):
+    """The model forced onto the reference (generic) step path: since
+    backend="auto" routes js.model.step through the engine, equivalence
+    tests would otherwise compare the engine with itself."""
+    return model.replace(backend="generic")
+
+
 @pytest.fixture(scope="module")
 def setup():
     model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
@@ -92,13 +99,13 @@ def test_contact_equivalence(setup):
 
 
 def test_trajectory_equivalence(setup):
-    """50 steps of the full step agree with the reference path."""
+    """20 steps of the full step agree with the reference path."""
     model, eng, datas = setup
     tau_fn = lambda s, sd: -60.0 * s - 0.5 * sd
     step_ref = jax.jit(
         jax.vmap(
             lambda d: js.model.step(
-                model,
+                _generic(model),
                 d,
                 joint_force_references=tau_fn(d.joint_positions, d.joint_velocities),
             )
@@ -108,7 +115,7 @@ def test_trajectory_equivalence(setup):
 
     d = datas
     st = eng.state_from_data(datas)
-    for _ in range(50):
+    for _ in range(20):
         d = step_ref(d)
         st = step_b(st)
 
@@ -120,14 +127,19 @@ def test_trajectory_equivalence(setup):
     )
 
 
-def test_rollout_scan_and_grad(setup):
-    """lax.scan rollout runs; jax.grad flows through a small model's engine
-    (the humanoid's unrolled reverse graph takes minutes to compile)."""
+def test_rollout_scan(setup):
+    """lax.scan rollout runs on the humanoid engine."""
     model, eng, datas = setup
     st = eng.state_from_data(datas)
-    out = jax.jit(lambda s: eng.rollout(s, 10))(st)
+    out = jax.jit(lambda s: eng.rollout(s, 5))(st)
     assert np.all(np.isfinite(np.asarray(out.p)))
 
+
+@pytest.mark.slow
+def test_rollout_grad(setup):
+    """jax.grad flows through a small model's engine rollout (the reverse
+    scan graph of the unrolled step takes minutes to compile on one core;
+    step-level AD stays in the default tier)."""
     small = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
     eng_s = BatchedEngine.build(small)
     st_s = eng_s.init_state(4)
@@ -217,7 +229,7 @@ def test_engine_plane_terrain_equivalence():
     @jax.jit
     def run(d):
         def body(d, _):
-            return js.model.step(model, d), None
+            return js.model.step(_generic(model), d), None
 
         o, _ = jax.lax.scan(body, d, None, length=100)
         return o
@@ -244,7 +256,7 @@ def test_engine_fixed_base():
     @jax.jit
     def run(d):
         def body(d, _):
-            return js.model.step(model, d), None
+            return js.model.step(_generic(model), d), None
 
         o, _ = jax.lax.scan(body, d, None, length=100)
         return o
@@ -305,7 +317,7 @@ def test_domain_randomization_engine():
         "Dmul": jnp.array([1.0, 0.7]),
         "mumul": jnp.array([1.0, 0.3]),
     }
-    out = eng.rollout(st, 50, domain=domain)
+    out = jax.jit(lambda s: eng.rollout(s, 30, domain=domain))(st)
 
     # Reference: one engine per parameter set, scalar params.
     for i, (km, dm, mm) in enumerate([(0.5, 1.0, 1.0), (2.0, 0.7, 0.3)]):
@@ -317,7 +329,9 @@ def test_domain_randomization_engine():
             )
         )
         eng_i = BatchedEngine.build(m_i)
-        ref = eng_i.rollout(eng_i.init_state(1, base_position=(0.0, 0.0, 0.12)), 50)
+        ref = jax.jit(
+            lambda s, e=eng_i: e.rollout(s, 30)
+        )(eng_i.init_state(1, base_position=(0.0, 0.0, 0.12)))
         assert_allclose(out.p[:, i], ref.p[:, 0], rtol=1e-4, atol=1e-5)
         assert_allclose(out.v[:, i], ref.v[:, 0], rtol=1e-4, atol=1e-4)
 
@@ -722,7 +736,9 @@ def test_rotated_base_quaternion_equivalence():
     convention q̇ = ½[0,ω]⊗q like the generic path — a strongly rotated base
     with large angular velocity exposes a flipped cross term that identity
     orientations hide."""
-    model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
+    # Model-independent convention check: the tiny floating model keeps the
+    # generic-path compile (the dominant cost) small.
+    model = _tiny_floating_model()
     eng = BatchedEngine.build(model)
     data = js.JaxSimModelData.build(
         model,
@@ -732,7 +748,7 @@ def test_rotated_base_quaternion_equivalence():
         velocity_representation=js.VelRepr.Inertial,
     )
     st = eng.state_from_data(jax.tree.map(lambda x: x[None], data))
-    step_ref = jax.jit(lambda d: js.model.step(model, d))
+    step_ref = jax.jit(lambda d: js.model.step(_generic(model), d))
     step_eng = jax.jit(lambda s: eng.step(s, jnp.zeros((eng.n_joints, 1))))
     for _ in range(20):
         data = step_ref(data)
@@ -772,7 +788,7 @@ def test_engine_rk4_equivalence(integrator_name):
     tau_fn = lambda s, sd: -60.0 * s - 0.5 * sd
     step_ref = jax.jit(
         lambda d: js.model.step(
-            model,
+            _generic(model),
             d,
             joint_force_references=tau_fn(d.joint_positions, d.joint_velocities),
         )
@@ -835,7 +851,7 @@ def test_engine_relaxed_rigid_box_equivalence(prng_key):
         )
 
     data = jax.vmap(build_one)(keys)
-    step_ref = jax.jit(jax.vmap(lambda d: js.model.step(model, d)))
+    step_ref = jax.jit(jax.vmap(lambda d: js.model.step(_generic(model), d)))
     step_eng = jax.jit(lambda s: eng.step(s))
     st = eng.state_from_data(data)
     for _ in range(5):
@@ -880,7 +896,7 @@ def test_engine_relaxed_rigid_garpez_equivalence(integrator_name, prng_key):
     step_ref = jax.jit(
         jax.vmap(
             lambda d: js.model.step(
-                model,
+                _generic(model),
                 d,
                 joint_force_references=tau_fn(
                     d.joint_positions, d.joint_velocities
@@ -1241,7 +1257,7 @@ def test_engine_rigid_box_equivalence(prng_key):
         )
 
     data = jax.vmap(build_one)(keys)
-    step_ref = jax.jit(jax.vmap(lambda d: js.model.step(model, d)))
+    step_ref = jax.jit(jax.vmap(lambda d: js.model.step(_generic(model), d)))
     step_eng = jax.jit(lambda s: eng.step(s))
     st = eng.state_from_data(data)
     for _ in range(5):
@@ -1287,7 +1303,7 @@ def test_engine_rigid_garpez_equivalence(integrator_name, prng_key):
     step_ref = jax.jit(
         jax.vmap(
             lambda d: js.model.step(
-                model,
+                _generic(model),
                 d,
                 joint_force_references=tau_fn(
                     d.joint_positions, d.joint_velocities
@@ -1433,7 +1449,7 @@ def test_engine_weld_constraint_parallelogram():
 
     step_eng = jax.jit(lambda s: eng.step(s, tau_eng))
     step_gen = jax.jit(
-        lambda d: js.model.step(model, d, joint_force_references=tau_gen)
+        lambda d: js.model.step(_generic(model), d, joint_force_references=tau_gen)
     )
     for _ in range(400):
         st = step_eng(st)
@@ -1479,8 +1495,11 @@ def test_engine_weld_step_gradient():
     assert np.isfinite(float(g))
     # The loss is exactly quadratic in tau0 (linear dynamics response over
     # the window), so a WIDE central difference is exact up to f32 noise.
+    # (jit the FD side: the eager unrolled-solver dispatch chain costs more
+    # than the compile it saves.)
+    loss_j = jax.jit(loss)
     eps = 0.5
-    fd = (loss(1.0 + eps) - loss(1.0 - eps)) / (2 * eps)
+    fd = (loss_j(1.0 + eps) - loss_j(1.0 - eps)) / (2 * eps)
     # Tier A (AD vs FD).
     assert_allclose(g, fd, rtol=0.15, atol=1e-8)
 
@@ -1548,7 +1567,7 @@ def test_engine_fourier_terrain_equivalence():
         base_quaternion=jnp.array([0.995, 0.0998, 0.0, 0.0]),
     )
     st = eng.state_from_data(jax.tree.map(lambda a: a[None], data))
-    step_g = jax.jit(lambda d: js.model.step(model, d))
+    step_g = jax.jit(lambda d: js.model.step(_generic(model), d))
     step_e = jax.jit(lambda s: eng.step(s))
     for _ in range(150):
         data = step_g(data)
@@ -1718,7 +1737,7 @@ def test_engine_heightmap_soft_equivalence():
         base_quaternion=jnp.array([0.995, 0.0998, 0.0, 0.0]),
     )
     st = eng.state_from_data(jax.tree.map(lambda a: a[None], data))
-    step_g = jax.jit(lambda d: js.model.step(model, d))
+    step_g = jax.jit(lambda d: js.model.step(_generic(model), d))
     step_e = jax.jit(lambda s: eng.step(s))
     for _ in range(100):
         data = step_g(data)
@@ -1800,7 +1819,7 @@ def test_engine_fourier_terrain_hard_contacts_equivalence(contact, prng_key):
         base_quaternion=jnp.array([0.995, 0.0998, 0.0, 0.0]),
     )
     data = jax.tree.map(lambda a: a[None], data)
-    step_ref = jax.jit(jax.vmap(lambda d: js.model.step(model, d)))
+    step_ref = jax.jit(jax.vmap(lambda d: js.model.step(_generic(model), d)))
     step_eng = jax.jit(lambda s: eng.step(s))
     st = eng.state_from_data(data)
     for _ in range(5):
@@ -1987,7 +2006,8 @@ def test_engine_hard_contact_step_gradient_tiny(contact):
 
     g = jax.jit(jax.grad(loss))(15.0)
     assert np.isfinite(float(g))
-    fd = (loss(15.0 + 1e-2) - loss(15.0 - 1e-2)) / 2e-2
+    loss_j = jax.jit(loss)
+    fd = (loss_j(15.0 + 1e-2) - loss_j(15.0 - 1e-2)) / 2e-2
     assert_allclose(g, fd, rtol=0.15, atol=1e-8)
 
 
@@ -2008,19 +2028,16 @@ def test_per_env_morphology_matches_separate_engines():
     eng = BatchedEngine.build(model)
     nL = model.number_of_links()
 
-    B = 3
+    B = 2
     dims = jnp.stack(
         [
             jnp.ones((nL, 3)),
-            1.15 * jnp.ones((nL, 3)),
             jnp.concatenate(
                 [0.9 * jnp.ones((nL // 2, 3)), 1.2 * jnp.ones((nL - nL // 2, 3))]
             ),
         ]
     )
-    density = jnp.stack(
-        [jnp.ones(nL), 0.8 * jnp.ones(nL), 1.3 * jnp.ones(nL)]
-    )
+    density = jnp.stack([jnp.ones(nL), 1.3 * jnp.ones(nL)])
     scalings = ScalingFactors(dims=dims, density=density)
 
     overrides = eng.per_env_hw_params(model, scalings)
@@ -2036,7 +2053,7 @@ def test_per_env_morphology_matches_separate_engines():
     pr = {**eng.params(), **overrides}
     tau_fn = lambda s, sd: -8.0 * s - 0.2 * sd
     step_pop = jax.jit(lambda s: eng.step(s, tau_fn(s.s, s.sd), pr))
-    for _ in range(60):
+    for _ in range(40):
         st = step_pop(st)
 
     # Reference: one engine per scaled model, B=1 each.
@@ -2047,7 +2064,7 @@ def test_per_env_morphology_matches_separate_engines():
         st_b = eng_b.init_state(1, base_position=(0.0, 0.0, 0.28))
         st_b = dc.replace(st_b, s=s0[:, None] * jnp.ones_like(st_b.s))
         step_b = jax.jit(lambda s, e=eng_b: e.step(s, tau_fn(s.s, s.sd)))
-        for _ in range(60):
+        for _ in range(40):
             st_b = step_b(st_b)
         assert_allclose(st.p[:, b], st_b.p[:, 0], rtol=1e-4, atol=1e-4)
         assert_allclose(st.s[:, b], st_b.s[:, 0], rtol=1e-4, atol=1e-4)
@@ -2080,14 +2097,14 @@ def test_pallas_rollout_morph_interpret():
     st = eng.init_state(B, base_position=(0.0, 0.0, 0.08))
     policy = lambda s: -5.0 * s.s - 0.1 * s.sd
     pr = {**eng.params(), **ov}
-    ref = eng.rollout(st, 3, policy=policy, domain=ov)
+    ref = jax.jit(lambda s: eng.rollout(s, 2, policy=policy, domain=ov))(st)
 
     tile = lambda tree: jax.tree.map(
         lambda a: a.reshape(a.shape[:-1] + (a.shape[-1] // 128, 128)), tree
     )
     with pltpu.force_tpu_interpret_mode():
         out = ps.untile_state(
-            ps.build_pallas_rollout(eng, 3, policy, morph=True)(
+            ps.build_pallas_rollout(eng, 2, policy, morph=True)(
                 ps.tile_state(st), **tile(ov)
             )
         )

@@ -11,11 +11,42 @@ from jaxsim_tpu.envs import BatchedEnv
 from jaxsim_tpu.ops.batched_engine import BatchedEngine
 
 
-def _env(**kwargs):
+@pytest.fixture(scope="module")
+def garpez_engine():
     model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
-    eng = BatchedEngine.build(model)
+    return BatchedEngine.build(model)
+
+
+@pytest.fixture(scope="module")
+def garpez_fourier():
+    """(terrain, engine) for the garpez model on rough FourierTerrain —
+    shared by every rough-terrain env test in this module."""
+    from jaxsim_tpu.terrain import FourierTerrain
+
+    terr = FourierTerrain.build(
+        seed=5, num_components=3, amplitude=0.05, wavelength=0.6
+    )
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_garpez_urdf(), terrain=terr
+    )
+    return terr, BatchedEngine.build(model)
+
+
+def _env_from(eng, **kwargs):
     kwargs.setdefault("healthy_z_range", (0.05, 2.0))
     return BatchedEnv(engine=eng, reset_base_position=(0.0, 0.0, 0.35), **kwargs)
+
+
+_GARPEZ_ENGINE_CACHE = []
+
+
+def _env(**kwargs):
+    if not _GARPEZ_ENGINE_CACHE:
+        model = js.JaxSimModel.build_from_model_description(
+            models.build_garpez_urdf()
+        )
+        _GARPEZ_ENGINE_CACHE.append(BatchedEngine.build(model))
+    return _env_from(_GARPEZ_ENGINE_CACHE[0], **kwargs)
 
 
 def test_reset_and_step_shapes():
@@ -60,37 +91,47 @@ def test_termination_auto_reset():
     np.testing.assert_allclose(np.asarray(state.sim.p[2]), 0.35, atol=1e-6)
 
 
-def test_pallas_env_rollout_interpret_matches_reference():
+def test_pallas_env_rollout_interpret_matches_reference(garpez_engine):
     """The in-kernel auto-resetting eval rollout matches a plain-jnp loop
     with identical semantics (interpret mode, small model)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from jaxsim_tpu.ops import pallas_step as ps
 
-    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
-    eng = BatchedEngine.build(model)
+    eng = garpez_engine
     st = eng.init_state(1024, base_position=(0.0, 0.0, 0.35))
     policy = lambda s: -5.0 * s.s - 0.1 * s.sd
-    n_steps, ep_len, z_rng = 5, 3, (0.05, 2.0)
+    # 3 steps with horizon 2: the truncation fires mid-rollout, so the
+    # respawned state is itself stepped again inside the kernel.
+    n_steps, ep_len, z_rng = 3, 2, (0.05, 2.0)
 
     # Reference: same semantics in plain jnp over the engine step.
-    init = st
-    sim, steps = st, jnp.zeros(1024, dtype=jnp.int32)
-    rew_sum = jnp.zeros(1024)
-    resets = jnp.zeros(1024, dtype=jnp.int32)
-    for _ in range(n_steps):
-        tau = policy(sim)
-        new = eng.step(sim, tau)
-        steps = steps + 1
-        z = new.p[2]
-        done = (z < z_rng[0]) | (z > z_rng[1]) | (steps >= ep_len)
-        rew_sum = rew_sum + jnp.minimum(new.p[2], 2.0) - 0.001 * jnp.sum(tau * tau, axis=0)
-        sim = jax.tree.map(lambda f, n_: jnp.where(done, f, n_), init, new)
-        steps = jnp.where(done, 0, steps)
-        resets = resets + done.astype(jnp.int32)
+    @jax.jit
+    def xla_ref(init):
+        sim, steps = init, jnp.zeros(1024, dtype=jnp.int32)
+        rew_sum = jnp.zeros(1024)
+        resets = jnp.zeros(1024, dtype=jnp.int32)
+        for _ in range(n_steps):
+            tau = policy(sim)
+            new = eng.step(sim, tau)
+            steps = steps + 1
+            z = new.p[2]
+            done = (z < z_rng[0]) | (z > z_rng[1]) | (steps >= ep_len)
+            rew_sum = (
+                rew_sum
+                + jnp.minimum(new.p[2], 2.0)
+                - 0.001 * jnp.sum(tau * tau, axis=0)
+            )
+            sim = jax.tree.map(lambda f, n_: jnp.where(done, f, n_), init, new)
+            steps = jnp.where(done, 0, steps)
+            resets = resets + done.astype(jnp.int32)
+        return sim, steps, rew_sum, resets
+
+    sim, steps, rew_sum, resets = xla_ref(st)
 
     run = ps.build_pallas_env_rollout(
-        eng, n_steps, policy=policy, episode_length=ep_len, healthy_z_range=z_rng
+        eng, n_steps, policy=policy, episode_length=ep_len,
+        healthy_z_range=z_rng,
     )
     with pltpu.force_tpu_interpret_mode():
         out, rew_k, resets_k, steps_k = run(ps.tile_state(st))
@@ -378,21 +419,14 @@ def test_fused_eval_rollout_mlp_weights():
         )
 
 
-def test_fused_eval_rollout_rough_terrain_offsets():
+@pytest.mark.slow
+def test_fused_eval_rollout_rough_terrain_offsets(garpez_fourier):
     """domain={"terrOff": (2, B)} gives every env its own FourierTerrain
     patch inside the fused eval kernel: zero offsets match the
     offset-free kernel exactly, distinct offsets change outcomes."""
     from jax.experimental.pallas import tpu as pltpu
 
-    from jaxsim_tpu.terrain import FourierTerrain
-
-    terr = FourierTerrain.build(
-        seed=5, num_components=6, amplitude=0.05, wavelength=0.6
-    )
-    model = js.JaxSimModel.build_from_model_description(
-        models.build_garpez_urdf(), terrain=terr
-    )
-    eng = BatchedEngine.build(model)
+    _, eng = garpez_fourier
     # Spawn in penetration so contacts (and therefore the terrain) engage
     # within the short horizon.
     env = BatchedEnv(
@@ -405,15 +439,15 @@ def test_fused_eval_rollout_rough_terrain_offsets():
     B = 1024
     with pltpu.force_tpu_interpret_mode():
         _, r0, _ = env.fused_eval_rollout(
-            jax.random.PRNGKey(0), B, 4, policy=policy
+            jax.random.PRNGKey(0), B, 2, policy=policy
         )
         _, rz, _ = env.fused_eval_rollout(
-            jax.random.PRNGKey(0), B, 4, policy=policy,
+            jax.random.PRNGKey(0), B, 2, policy=policy,
             domain={"terrOff": jnp.zeros((2, B))},
         )
         off = 2.0 * jax.random.normal(jax.random.PRNGKey(3), (2, B))
         _, ro, _ = env.fused_eval_rollout(
-            jax.random.PRNGKey(0), B, 4, policy=policy,
+            jax.random.PRNGKey(0), B, 2, policy=policy,
             domain={"terrOff": off},
         )
     assert np.allclose(np.asarray(r0), np.asarray(rz), atol=1e-6)
@@ -421,32 +455,25 @@ def test_fused_eval_rollout_rough_terrain_offsets():
     assert not np.allclose(np.asarray(r0), np.asarray(ro))
 
 
-def test_terrain_relative_obs_and_termination():
-    """terrain_relative=True: the default observation's height row and the
-    healthy-height termination use p_z − h(x, y); XLA env path and fused
-    kernel agree."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    from jaxsim_tpu.terrain import FourierTerrain
-
-    terr = FourierTerrain.build(
-        seed=5, num_components=6, amplitude=0.05, wavelength=0.6
-    )
-    model = js.JaxSimModel.build_from_model_description(
-        models.build_garpez_urdf(), terrain=terr
-    )
-    eng = BatchedEngine.build(model)
-
-    with pytest.raises(ValueError, match="FourierTerrain"):
-        BatchedEnv(engine=_env().engine, terrain_relative=True)
-
-    env = BatchedEnv(
+def _terrain_relative_env(eng):
+    return BatchedEnv(
         engine=eng,
         reset_base_position=(0.0, 0.0, 0.30),
         reset_noise_std=0.0,
         healthy_z_range=(0.05, 2.0),
         terrain_relative=True,
     )
+
+
+def test_terrain_relative_obs_and_termination(garpez_fourier):
+    """terrain_relative=True: the default observation's height row and the
+    healthy-height termination use p_z − h(x, y) (XLA path)."""
+    terr, eng = garpez_fourier
+
+    with pytest.raises(ValueError, match="FourierTerrain"):
+        BatchedEnv(engine=_env().engine, terrain_relative=True)
+
+    env = _terrain_relative_env(eng)
     st, obs = env.reset(jax.random.PRNGKey(0), 8)
     # The obs height row is terrain-relative: subtracting h(x, y) by hand
     # from the absolute height reproduces it.
@@ -455,22 +482,35 @@ def test_terrain_relative_obs_and_termination():
         np.asarray(obs[-1]), np.asarray(st.sim.p[2]) - h, atol=1e-6
     )
 
-    # Fused kernel with a linear policy reading the relative height: runs
-    # finite and matches the same env stepped on the XLA path.
+
+@pytest.mark.slow
+def test_terrain_relative_fused_matches_xla(garpez_fourier):
+    """The fused kernel's terrain-relative observation/termination matches
+    the XLA env path step for step (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    _, eng = garpez_fourier
+    env = _terrain_relative_env(eng)
+
     from jaxsim_tpu.ops import pallas_step as ps
 
     n = eng.n_joints
     W = jnp.zeros((n, ps.obs_dim(n)))
+    n_steps = 3
     with pltpu.force_tpu_interpret_mode():
         final, rew, resets = env.fused_eval_rollout(
-            jax.random.PRNGKey(0), 1024, 4, W=W
+            jax.random.PRNGKey(0), 1024, n_steps, W=W
         )
     assert np.isfinite(np.asarray(rew)).all()
 
     # XLA reference: same zero policy, same respawn state, same horizon.
+    @jax.jit
+    def xla_ref(st2):
+        r_sum = jnp.zeros(1024)
+        for _ in range(n_steps):
+            st2, _, r, _ = env.step(st2, jnp.zeros((n, 1024)))
+            r_sum = r_sum + r
+        return r_sum
+
     st2, _ = env.reset(jax.random.PRNGKey(1), 1024)
-    r_sum = jnp.zeros(1024)
-    for _ in range(4):
-        st2, _, r, _ = env.step(st2, jnp.zeros((n, 1024)))
-        r_sum = r_sum + r
-    assert np.allclose(np.asarray(rew), np.asarray(r_sum), atol=1e-4)
+    assert np.allclose(np.asarray(rew), np.asarray(xla_ref(st2)), atol=1e-4)

@@ -145,6 +145,18 @@ def test_joint_limits_enforced():
         del os.environ["JAXSIM_JOINT_POSITION_LIMIT_DAMPER"]
 
 
+@pytest.fixture(scope="module")
+def pendulum_fine_dt_reference():
+    """Double-pendulum joint positions after 0.05 s at dt=1e-5 — the shared
+    fine-step ground truth for all three integrator parametrizations."""
+    urdf = models.build_pendulum_urdf(2)
+    model_ref = js.JaxSimModel.build_from_model_description(urdf, time_step=1e-5)
+    data_ref = js.JaxSimModelData.build(
+        model_ref, joint_positions=jnp.array([0.4, -0.3])
+    )
+    return rollout(model_ref, data_ref, 5000).joint_positions
+
+
 @pytest.mark.parametrize(
     "integrator",
     [
@@ -153,7 +165,7 @@ def test_joint_limits_enforced():
         js.IntegratorType.RungeKutta4Fast,
     ],
 )
-def test_integrators_agree_on_pendulum(integrator):
+def test_integrators_agree_on_pendulum(integrator, pendulum_fine_dt_reference):
     """All integrators track the same double-pendulum trajectory at small dt."""
     urdf = models.build_pendulum_urdf(2)
     model = js.JaxSimModel.build_from_model_description(
@@ -162,14 +174,8 @@ def test_integrators_agree_on_pendulum(integrator):
     data = js.JaxSimModelData.build(model, joint_positions=jnp.array([0.4, -0.3]))
     data_tf = rollout(model, data, 500)
 
-    model_ref = js.JaxSimModel.build_from_model_description(urdf, time_step=1e-5)
-    data_ref = js.JaxSimModelData.build(
-        model_ref, joint_positions=jnp.array([0.4, -0.3])
-    )
-    data_ref = rollout(model_ref, data_ref, 5000)
-
     assert_allclose(
-        data_tf.joint_positions, data_ref.joint_positions, rtol=5e-3, atol=2e-3
+        data_tf.joint_positions, pendulum_fine_dt_reference, rtol=5e-3, atol=2e-3
     )
 
 

@@ -98,8 +98,10 @@ def test_fourier_terrain_generic_settling():
     from jaxsim_tpu.terrain import FourierTerrain
 
     t = FourierTerrain.build(seed=3, num_components=6, amplitude=0.03, wavelength=0.8)
+    # backend="generic": this test covers the reference-style generic step
+    # path on rough terrain (the engine path has its own equivalence tests).
     model = js.JaxSimModel.build_from_model_description(
-        models.build_sphere_urdf(), terrain=t
+        models.build_sphere_urdf(), terrain=t, backend="generic"
     )
     h0 = float(t.height(jnp.array(0.0), jnp.array(0.0)))
     data = js.JaxSimModelData.build(

@@ -172,18 +172,22 @@ def test_ad_full_step_torques(humanoid_model):
     np.testing.assert_allclose(float(ad), float(fd), rtol=0.1, atol=1e-3)
 
 
-def test_ad_hw_parameters(humanoid_model):
+def test_ad_hw_parameters():
     """Gradients flow through morphology scaling into dynamics
-    (reference ``test_automatic_differentiation.py:467``)."""
+    (reference ``test_automatic_differentiation.py:467``; the reference
+    exercises this on its small 'garpez' fixture, not the humanoid —
+    matching that keeps the grad-of-generic-step compile small)."""
     from jaxsim_tpu.api import hw_parameters as hw
 
-    model = hw.with_hw_metadata(humanoid_model)
+    model = hw.with_hw_metadata(
+        js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    )
     nl = model.number_of_links()
-    # Feet in contact: free-fall acceleration is mass-independent, so the
-    # state must involve contact forces for morphology gradients to be
-    # nonzero.
+    # Base corners in penetration: free-fall acceleration is mass-
+    # independent, so the state must involve contact forces for morphology
+    # gradients to be nonzero.
     data = js.JaxSimModelData.build(
-        model, base_position=jnp.array([0.0, 0.0, 0.86])
+        model, base_position=jnp.array([0.0, 0.0, -0.01])
     )
 
     def loss(scale):

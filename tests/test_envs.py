@@ -12,12 +12,6 @@ from jaxsim_tpu.ops.batched_engine import BatchedEngine
 
 
 @pytest.fixture(scope="module")
-def garpez_engine():
-    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
-    return BatchedEngine.build(model)
-
-
-@pytest.fixture(scope="module")
 def garpez_fourier():
     """(terrain, engine) for the garpez model on rough FourierTerrain —
     shared by every rough-terrain env test in this module."""
@@ -30,6 +24,15 @@ def garpez_fourier():
         models.build_garpez_urdf(), terrain=terr
     )
     return terr, BatchedEngine.build(model)
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    """Smallest contact-bearing engine — keeps the interpret-mode kernel
+    test (whose cost scales with ops × steps) inside the fast tier."""
+    from tests.test_batched_engine import _tiny_floating_model
+
+    return BatchedEngine.build(_tiny_floating_model())
 
 
 def _env_from(eng, **kwargs):
@@ -91,14 +94,16 @@ def test_termination_auto_reset():
     np.testing.assert_allclose(np.asarray(state.sim.p[2]), 0.35, atol=1e-6)
 
 
-def test_pallas_env_rollout_interpret_matches_reference(garpez_engine):
+def test_pallas_env_rollout_interpret_matches_reference(tiny_engine):
     """The in-kernel auto-resetting eval rollout matches a plain-jnp loop
-    with identical semantics (interpret mode, small model)."""
+    with identical semantics (interpret mode, tiny model — the reset
+    plumbing is morphology-independent and interpret cost scales with the
+    op count of the stepped model)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from jaxsim_tpu.ops import pallas_step as ps
 
-    eng = garpez_engine
+    eng = tiny_engine
     st = eng.init_state(1024, base_position=(0.0, 0.0, 0.35))
     policy = lambda s: -5.0 * s.s - 0.1 * s.sd
     # 3 steps with horizon 2: the truncation fires mid-rollout, so the

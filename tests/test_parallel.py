@@ -29,18 +29,21 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
-def test_sharded_vmap_rollout(model):
+def test_sharded_vmap_rollout():
+    # Sharding mechanics are morphology-independent: the small model keeps
+    # the generic-path compile (the dominant cost) out of the fast tier.
+    small = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
     B = 16
     mesh = make_env_mesh()
     batch = jax.vmap(
         lambda k: js.JaxSimModelData.build(
-            model,
+            small,
             base_position=jnp.array([0.0, 0.0, 0.9])
             + 0.01 * jax.random.normal(k, (3,)),
         )
     )(jax.random.split(jax.random.PRNGKey(0), B))
 
-    out = sharded_rollout(model, batch, n_steps=5, mesh=mesh)
+    out = sharded_rollout(small, batch, n_steps=5, mesh=mesh)
     assert out.base_position.shape == (B, 3)
     assert np.all(np.isfinite(np.asarray(out.base_position)))
     # Output stays sharded over the env axis.
@@ -174,8 +177,9 @@ def test_sharded_fused_rollout_real_kernel_interpret_2dev():
     from jaxsim_tpu.ops import pallas_step as ps
     from jaxsim_tpu.parallel import sharded_fused_rollout
 
-    m = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
-    eng = BatchedEngine.build(m)
+    from tests.test_batched_engine import _tiny_floating_model
+
+    eng = BatchedEngine.build(_tiny_floating_model())
     mesh = Mesh(jax.devices()[:2], axis_names=("env",))
     B = 2 * 8 * 128  # one (8, 128) tile per device
     st = eng.init_state(B, base_position=(0.0, 0.0, 0.35))

@@ -50,10 +50,11 @@ def test_box_hovering_under_exact_counterforce():
 
 
 def test_zero_gravity_momentum_conservation():
-    """Without gravity/contacts, linear momentum of a swinging humanoid is
-    conserved (reference ``test_simulations.py:88``)."""
+    """Without gravity/contacts, linear momentum of a swinging chain is
+    conserved (reference ``test_simulations.py:88``; morphology-independent,
+    so the small model keeps the compile out of the fast tier's budget)."""
     model = js.JaxSimModel.build_from_model_description(
-        models.build_humanoid_urdf(), gravity=0.0
+        models.build_garpez_urdf(), gravity=0.0
     )
     # Disable contacts by starting far above the terrain.
     key = jax.random.PRNGKey(1)
@@ -73,8 +74,10 @@ def test_zero_gravity_momentum_conservation():
     with data_tf.switch_velocity_representation(js.VelRepr.Inertial) as d1:
         h1 = js.model.total_momentum(model, d1)
 
-    # Inertial-frame momentum about the world origin is conserved.
-    assert_allclose(h1, h0, rtol=2e-3, atol=1e-3)
+    # Inertial-frame momentum about the world origin is conserved. The
+    # atol covers f32 drift on the near-zero components when the large
+    # ones are O(10-100) (the 27 kg chain carries big momenta).
+    assert_allclose(h1, h0, rtol=2e-3, atol=2e-3)
 
 
 def test_box_settles_on_terrain():
@@ -100,7 +103,7 @@ def test_sphere_settles_on_terrain():
 
 
 def test_humanoid_long_rollout_stable():
-    """The flagship humanoid survives a 5 s PD rollout without NaN and comes
+    """The flagship humanoid survives a 2 s PD rollout without NaN and comes
     to rest on the terrain."""
     model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
     params = js.contact.estimate_good_contact_parameters(
@@ -115,7 +118,7 @@ def test_humanoid_long_rollout_stable():
     data_tf = rollout(
         model,
         data,
-        5000,
+        2000,
         tau_fn=lambda d: -60.0 * d.joint_positions - 0.5 * d.joint_velocities,
     )
     assert np.all(np.isfinite(np.asarray(data_tf.base_position)))

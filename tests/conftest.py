@@ -16,6 +16,12 @@ if not _USE_TPU:
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("MUJOCO_GL", "egl")  # headless offline rendering
+# XLA:CPU AOT cache loads spam E-level "machine feature +prefer-no-gather is
+# not supported on the host" on EVERY warm entry: the compile side records
+# LLVM tuning flags (prefer-no-gather/scatter) that the loader's host-feature
+# probe never reports, so same-machine loads false-positive. Python-level
+# errors still raise; silence the C++ log noise for test runs only.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
 
@@ -53,7 +59,10 @@ _cache_dir = os.path.join(
 )
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Write EVERY compile to the cache (threshold 0): on a small-core box the
+# xdist workers race to compile the same graphs, and an early cache write is
+# the only cross-worker dedup there is.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np
 import pytest

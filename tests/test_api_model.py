@@ -478,8 +478,8 @@ def test_ergocub_reduction_to_locomotion(ergocub_model):
 
 
 def test_ergocub_dynamics_consistency(ergocub_model):
-    """FD∘ID identity and a short stable soft-contact trajectory on the
-    real-robot-class model (mesh-free but realistically parameterized)."""
+    """FD∘ID identity on the real-robot-class model (mesh-free but
+    realistically parameterized)."""
     model = ergocub_model
     data = js.data.random_model_data(model, key=jax.random.PRNGKey(11))
     n = model.number_of_joints()
@@ -491,6 +491,14 @@ def test_ergocub_dynamics_consistency(ergocub_model):
     )
     assert_allclose(tau_id, tau, rtol=2e-3, atol=2e-3)
 
+
+@pytest.mark.slow
+def test_ergocub_rollout_stable(ergocub_model):
+    """Short stable soft-contact trajectory on the 29-DoF real-robot-class
+    model (slow: compiling the scan over the generic 29-DoF step takes
+    ~a minute on one core; trajectory-level engine-vs-generic coverage
+    lives in test_batched_engine)."""
+    model = ergocub_model
     d0 = js.JaxSimModelData.build(model, base_position=jnp.array([0.0, 0.0, 0.76]))
 
     @jax.jit
@@ -519,22 +527,26 @@ def test_step_backend_auto_matches_generic(humanoid_model):
     assert humanoid_model.backend == "auto"
     assert _resolve_step_engine(humanoid_model, None) is not None
 
+    # The stepped equivalence runs on garpez: dispatch mechanics are
+    # morphology-independent, and the generic humanoid step is the single
+    # most expensive compile in the suite on a single-core box.
+    m_auto = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
     m_gen = js.JaxSimModel.build_from_model_description(
-        models.build_humanoid_urdf(), backend="generic"
+        models.build_garpez_urdf(), backend="generic"
     )
     assert _resolve_step_engine(m_gen, None) is None
 
     def mk(m):
         return js.JaxSimModelData.build(
             m,
-            base_position=jnp.array([0.0, 0.0, 0.85]),
+            base_position=jnp.array([0.0, 0.0, 0.35]),
             joint_positions=0.05 * jnp.ones(m.number_of_joints()),
         )
 
-    da, dg = mk(humanoid_model), mk(m_gen)
-    tau = 0.1 * jnp.ones(humanoid_model.number_of_joints())
+    da, dg = mk(m_auto), mk(m_gen)
+    tau = 0.1 * jnp.ones(m_auto.number_of_joints())
     step_a = jax.jit(
-        lambda d: js.model.step(humanoid_model, d, joint_force_references=tau)
+        lambda d: js.model.step(m_auto, d, joint_force_references=tau)
     )
     step_g = jax.jit(lambda d: js.model.step(m_gen, d, joint_force_references=tau))
     for _ in range(10):

@@ -98,8 +98,11 @@ def test_contact_equivalence(setup):
     assert_allclose(fl_full, W_f_ref, rtol=1e-4, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_trajectory_equivalence(setup):
-    """20 steps of the full step agree with the reference path."""
+    """20 steps of the full step agree with the reference path (humanoid —
+    compiling the vmap'd generic humanoid step takes ~a minute on one
+    core, so the default tier runs the garpez twin below instead)."""
     model, eng, datas = setup
     tau_fn = lambda s, sd: -60.0 * s - 0.5 * sd
     step_ref = jax.jit(
@@ -127,9 +130,61 @@ def test_trajectory_equivalence(setup):
     )
 
 
-def test_rollout_scan(setup):
-    """lax.scan rollout runs on the humanoid engine."""
-    model, eng, datas = setup
+@pytest.fixture(scope="module")
+def garpez_setup():
+    """Small-model twin of ``setup`` for trajectory-level checks whose
+    coverage is morphology-independent (compiling the generic humanoid
+    step dominates the cold suite on a single-core box)."""
+    model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    eng = BatchedEngine.build(model)
+    n = model.number_of_joints()
+    key = jax.random.PRNGKey(7)
+    B = 2
+    datas = jax.vmap(
+        lambda k: js.JaxSimModelData.build(
+            model,
+            base_position=jnp.array([0.0, 0.0, 0.33])
+            + 0.005 * jax.random.normal(k, (3,)),
+            joint_positions=0.1 * jax.random.normal(k, (n,)),
+            velocity_representation=js.VelRepr.Inertial,
+        )
+    )(jax.random.split(key, B))
+    return model, eng, datas
+
+
+def test_trajectory_equivalence_garpez(garpez_setup):
+    """Default-tier twin of test_trajectory_equivalence on the 3-DoF
+    garpez model: 20 full steps of engine vs generic js.model.step."""
+    model, eng, datas = garpez_setup
+    tau_fn = lambda s, sd: -20.0 * s - 0.2 * sd
+    step_ref = jax.jit(
+        jax.vmap(
+            lambda d: js.model.step(
+                _generic(model),
+                d,
+                joint_force_references=tau_fn(d.joint_positions, d.joint_velocities),
+            )
+        )
+    )
+    step_b = jax.jit(lambda st: eng.step(st, tau_fn(st.s, st.sd)))
+
+    d = datas
+    st = eng.state_from_data(datas)
+    for _ in range(20):
+        d = step_ref(d)
+        st = step_b(st)
+
+    assert_allclose(
+        jnp.moveaxis(st.s, -1, 0), d.joint_positions, rtol=1e-2, atol=5e-3
+    )
+    assert_allclose(
+        jnp.moveaxis(st.p, -1, 0), d.base_position, rtol=1e-2, atol=2e-3
+    )
+
+
+def test_rollout_scan(garpez_setup):
+    """lax.scan rollout runs on the engine."""
+    model, eng, datas = garpez_setup
     st = eng.state_from_data(datas)
     out = jax.jit(lambda s: eng.rollout(s, 5))(st)
     assert np.all(np.isfinite(np.asarray(out.p)))
@@ -203,15 +258,34 @@ def test_engine_rejects_unsupported_configs():
         BatchedEngine.build(m3)
 
 
+def _sphere_model(n_points=8, **kwargs):
+    """Sphere model with a REDUCED fibonacci point count (default-tier
+    compile cost scales with contact points; 8 points cover the
+    engine-vs-generic contact math as well as the default 50)."""
+    import os
+
+    old = os.environ.get("JAXSIM_COLLISION_SPHERE_POINTS")
+    os.environ["JAXSIM_COLLISION_SPHERE_POINTS"] = str(n_points)
+    try:
+        return js.JaxSimModel.build_from_model_description(
+            models.build_sphere_urdf(), **kwargs
+        )
+    finally:
+        if old is None:
+            os.environ.pop("JAXSIM_COLLISION_SPHERE_POINTS", None)
+        else:
+            os.environ["JAXSIM_COLLISION_SPHERE_POINTS"] = old
+
+
 def test_engine_plane_terrain_equivalence():
     """A sphere dropped on a 10-degree incline: the engine's static-normal
     contact path matches the generic js.model.step path."""
     from jaxsim_tpu.terrain import PlaneTerrain
 
     normal = (np.sin(np.deg2rad(10.0)), 0.0, np.cos(np.deg2rad(10.0)))
-    model = js.JaxSimModel.build_from_model_description(
-        models.build_sphere_urdf(), terrain=PlaneTerrain.build(normal=normal)
-    )
+    # 16 points: enough cap smoothness to actually ROLL downhill (8-point
+    # clouds tumble chaotically), still 3x cheaper to compile than 50.
+    model = _sphere_model(n_points=16, terrain=PlaneTerrain.build(normal=normal))
     eng = BatchedEngine.build(model)
     assert eng.terrain_normal[0] > 0  # the incline actually reached the engine
 
@@ -285,9 +359,13 @@ def test_pallas_interpret_small_model():
         )
 
 
+@pytest.mark.slow
 def test_pallas_rollout_kernel_interpret_small_model():
     """The in-kernel fori_loop rollout (one launch per horizon — the default
-    bench path) matches the per-step engine rollout in interpreter mode."""
+    bench path) matches the per-step engine rollout in interpreter mode.
+    (slow: ~3x the single-step interpret test above, which stays in the
+    default tier; the rollout loop itself is TPU-covered by the fused
+    policy-gradient tests and the driver's multichip dryrun.)"""
     from jax.experimental.pallas import tpu as pltpu
 
     from jaxsim_tpu.ops import pallas_step as ps
@@ -308,7 +386,7 @@ def test_pallas_rollout_kernel_interpret_small_model():
 def test_domain_randomization_engine():
     """Per-env contact-parameter multipliers match separately-built models
     with scaled parameters."""
-    model = js.JaxSimModel.build_from_model_description(models.build_sphere_urdf())
+    model = _sphere_model()
     eng = BatchedEngine.build(model)
 
     st = eng.init_state(2, base_position=(0.0, 0.0, 0.12))
@@ -760,26 +838,26 @@ def test_rotated_base_quaternion_equivalence():
 @pytest.mark.parametrize("integrator_name", ["rk4", "rk4fast"])
 def test_engine_rk4_equivalence(integrator_name):
     """Engine RK4 / RK4-fast trajectories match the generic js.model.step
-    path with the corresponding integrator (garpez on soft contacts — the
-    humanoid SIE trajectory test already covers tree depth; the RK4 math
-    is model-independent, and the small model keeps the 4-stage generic
-    path's compile time off the suite's critical path)."""
+    path with the corresponding integrator (tiny 2-link model in contact —
+    the trajectory tests above cover tree depth; the RK4 stage math is
+    model-independent, and the 4-stage generic graph is the single most
+    expensive compile in the suite at humanoid scale)."""
     from jaxsim_tpu.api.model import IntegratorType
 
     itype = {
         "rk4": IntegratorType.RungeKutta4,
         "rk4fast": IntegratorType.RungeKutta4Fast,
     }[integrator_name]
-    model = js.JaxSimModel.build_from_model_description(
-        models.build_garpez_urdf(), integrator=itype
-    )
+    model = _tiny_floating_model(integrator=itype)
     eng = BatchedEngine.build(model)
     assert eng.integrator == integrator_name
 
     n = model.number_of_joints()
     data = js.JaxSimModelData.build(
         model,
-        base_position=jnp.array([0.0, 0.0, 0.33]),
+        # Base slightly penetrating: the m-state comparison below needs an
+        # active contact from step 0.
+        base_position=jnp.array([0.0, 0.0, 0.095]),
         base_quaternion=jnp.array([0.995, 0.0998, 0.0, 0.0]),
         joint_positions=0.1 * jax.random.normal(jax.random.PRNGKey(0), (n,)),
         velocity_representation=js.VelRepr.Inertial,
@@ -1473,10 +1551,13 @@ def test_engine_weld_constraint_parallelogram():
     assert_allclose(H1[0:3, 3], H2[0:3, 3], atol=5e-3)
 
 
+@pytest.mark.slow
 def test_engine_weld_step_gradient():
     """Reverse-mode through the constrained engine step is plain AD (the
     dense unrolled-Cholesky constraint solve needs no custom_vjp) and
-    matches finite differences at tier A."""
+    matches finite differences at tier A. (slow: the 3-step reverse graph
+    through the weld solve is a ~1-minute compile on one core; the fused
+    weld backward is TPU-covered by test_fused_diff_pallas_step_weld_tpu.)"""
     model = _weld_model()
     eng = BatchedEngine.build(model)
     data = js.JaxSimModelData.build(model, joint_positions=jnp.array([0.3, 0.3]))
@@ -1537,7 +1618,7 @@ def test_pallas_step_weld_interpret():
 # ----- spectral (Fourier) rough terrain on the hot path -----
 
 
-def _fourier_model():
+def _fourier_model(urdf=None):
     from jaxsim_tpu.terrain import FourierTerrain
 
     terr = FourierTerrain.build(
@@ -1545,7 +1626,8 @@ def _fourier_model():
     )
     return (
         js.JaxSimModel.build_from_model_description(
-            models.build_garpez_urdf(), terrain=terr
+            urdf if urdf is not None else models.build_garpez_urdf(),
+            terrain=terr,
         ),
         terr,
     )
@@ -1555,21 +1637,26 @@ def test_engine_fourier_terrain_equivalence():
     """BatchedEngine on FourierTerrain (per-point per-env analytic
     normals) matches the generic js.model.step path — the engine's
     in-loop spectrum evaluation is the same math as
-    FourierTerrain.height/normal."""
-    model, terr = _fourier_model()
+    FourierTerrain.height/normal. (box model: the terrain lowering is
+    morphology-independent and the garpez generic-step compile is the
+    expensive part; articulation x terrain is covered by the slow/tpu
+    fourier tests.)"""
+    model, terr = _fourier_model(models.build_box_urdf())
     eng = BatchedEngine.build(model)
     assert eng.terrain_kind == "fourier"
 
     h0 = float(terr.height(jnp.array(0.0), jnp.array(0.0)))
     data = js.JaxSimModelData.build(
         model,
-        base_position=jnp.array([0.0, 0.0, h0 + 0.31]),
+        # Low start: the box must actually CONTACT the rough terrain
+        # within the short horizon for the comparison to be meaningful.
+        base_position=jnp.array([0.0, 0.0, h0 + 0.05]),
         base_quaternion=jnp.array([0.995, 0.0998, 0.0, 0.0]),
     )
     st = eng.state_from_data(jax.tree.map(lambda a: a[None], data))
     step_g = jax.jit(lambda d: js.model.step(_generic(model), d))
     step_e = jax.jit(lambda s: eng.step(s))
-    for _ in range(150):
+    for _ in range(60):
         data = step_g(data)
         st = step_e(st)
     # Tier T (trajectories).
@@ -1584,7 +1671,7 @@ def test_engine_fourier_terrain_per_env_offset():
     """pr["terrOff"] translates each env's terrain query independently —
     per-env rough-terrain domain randomization. A shifted env must settle
     at the height of the SHIFTED terrain location."""
-    model, terr = _fourier_model()
+    model, terr = _fourier_model(models.build_box_urdf())
     eng = BatchedEngine.build(model)
     B = 4
     st = eng.init_state(B, base_position=(0.0, 0.0, 0.4))
@@ -1774,7 +1861,16 @@ def test_engine_heightmap_bumpy_settles():
     assert np.std(z) > 1e-4
 
 
-@pytest.mark.parametrize("contact", ["rigid", "relaxed_rigid"])
+@pytest.mark.parametrize(
+    "contact",
+    [
+        # rigid is slow-only: its generic APGD reference compile is the
+        # expensive half, and the combos sweep below still smoke-covers
+        # fourier x rigid in the default tier.
+        pytest.param("rigid", marks=pytest.mark.slow),
+        "relaxed_rigid",
+    ],
+)
 def test_engine_fourier_terrain_hard_contacts_equivalence(contact, prng_key):
     """Rough (Fourier) terrain with rigid / relaxed-rigid contacts on the
     engine matches the generic path (tier C, short horizon): per-point
@@ -1877,6 +1973,12 @@ def test_engine_accepts_all_terrain_contact_combos(terrain_kind, contact):
         models.build_box_urdf(), **kwargs
     )
     eng = BatchedEngine.build(model)
+    # One finite step is a SMOKE check: truncated solver unrolls keep the
+    # 9-combo sweep's compile cost inside the default-tier budget (the
+    # full-iteration solves are covered by the equivalence tests).
+    import dataclasses as _dc
+
+    eng = _dc.replace(eng, rigid_iterations=4, rr_iterations=4)
     assert eng.terrain_kind == terrain_kind
     st = eng.init_state(2, base_position=(0.0, 0.0, 0.05))
     out = jax.jit(lambda s: eng.step(s))(st)
@@ -1997,11 +2099,16 @@ def test_engine_hard_contact_step_gradient_tiny(contact):
         eng = dc.replace(BatchedEngine.build(model), rr_iterations=8)
     assert eng.n_points == 1
     st0 = eng.init_state(1, base_position=(0.0, 0.0, 0.08))
+    # Nonzero joint angle: the policy torque (and hence the loss) must
+    # depend on kp from the FIRST step, so a single step suffices for the
+    # AD-vs-FD check (halving the reverse-mode graph the default tier
+    # compiles on one core).
+    import dataclasses as _dc
+
+    st0 = _dc.replace(st0, s=0.3 * jnp.ones_like(st0.s))
 
     def loss(kp):
-        st = st0
-        for _ in range(2):
-            st = eng.step(st, -kp * st.s - 0.1 * st.sd)
+        st = eng.step(st0, -kp * st0.s - 0.1 * st0.sd)
         return jnp.sum(st.sd**2) + jnp.sum(st.p**2)
 
     g = jax.jit(jax.grad(loss))(15.0)
@@ -2022,9 +2129,7 @@ def test_per_env_morphology_matches_separate_engines():
     import jaxsim_tpu.api as js
     from jaxsim_tpu.api.hw_parameters import ScalingFactors, with_hw_metadata
 
-    model = with_hw_metadata(
-        js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
-    )
+    model = with_hw_metadata(_tiny_floating_model())
     eng = BatchedEngine.build(model)
     nL = model.number_of_links()
 
@@ -2048,7 +2153,11 @@ def test_per_env_morphology_matches_separate_engines():
     import dataclasses as dc
 
     s0 = jnp.array([0.4, -0.3, 0.25])[: eng.n_joints]
-    st = eng.init_state(B, base_position=(0.0, 0.0, 0.28))
+    # Low enough that the UNSCALED env's contact point (base sphere
+    # r=0.1) starts penetrating while the 0.9-dims-scaled env's doesn't —
+    # contact-geometry scaling shows up in the trajectories, not just
+    # inertia scaling.
+    st = eng.init_state(B, base_position=(0.0, 0.0, 0.095))
     st = dc.replace(st, s=s0[:, None] * jnp.ones_like(st.s))
     pr = {**eng.params(), **overrides}
     tau_fn = lambda s, sd: -8.0 * s - 0.2 * sd
@@ -2061,7 +2170,7 @@ def test_per_env_morphology_matches_separate_engines():
         sf_b = jax.tree.map(lambda a: a[b], scalings)
         model_b = js.model.update_hw_parameters(model, sf_b)
         eng_b = BatchedEngine.build(model_b)
-        st_b = eng_b.init_state(1, base_position=(0.0, 0.0, 0.28))
+        st_b = eng_b.init_state(1, base_position=(0.0, 0.0, 0.095))
         st_b = dc.replace(st_b, s=s0[:, None] * jnp.ones_like(st_b.s))
         step_b = jax.jit(lambda s, e=eng_b: e.step(s, tau_fn(s.s, s.sd)))
         for _ in range(40):
@@ -2075,9 +2184,12 @@ def test_per_env_morphology_matches_separate_engines():
     assert float(jnp.std(st.s, axis=-1).max()) > 1e-3
 
 
+@pytest.mark.slow
 def test_pallas_rollout_morph_interpret():
     """Per-env morphology tiles thread through the fused rollout kernel
-    (interpret mode) and match the XLA engine with the same overrides."""
+    (interpret mode) and match the XLA engine with the same overrides.
+    (slow: interpret-mode rollout; the XLA-level per-env morphology
+    equivalence above stays in the default tier.)"""
     from jax.experimental.pallas import tpu as pltpu
 
     from jaxsim_tpu.api.hw_parameters import ScalingFactors, with_hw_metadata

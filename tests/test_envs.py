@@ -40,16 +40,18 @@ def _env_from(eng, **kwargs):
     return BatchedEnv(engine=eng, reset_base_position=(0.0, 0.0, 0.35), **kwargs)
 
 
-_GARPEZ_ENGINE_CACHE = []
+_FLAT_ENGINE_CACHE = []
 
 
 def _env(**kwargs):
-    if not _GARPEZ_ENGINE_CACHE:
-        model = js.JaxSimModel.build_from_model_description(
-            models.build_garpez_urdf()
-        )
-        _GARPEZ_ENGINE_CACHE.append(BatchedEngine.build(model))
-    return _env_from(_GARPEZ_ENGINE_CACHE[0], **kwargs)
+    # Tiny 2-link model: the env plumbing under test (obs layout, reward,
+    # auto-reset) is morphology-independent, and each env config below
+    # compiles its own step graph on a single core.
+    if not _FLAT_ENGINE_CACHE:
+        from tests.test_batched_engine import _tiny_floating_model
+
+        _FLAT_ENGINE_CACHE.append(BatchedEngine.build(_tiny_floating_model()))
+    return _env_from(_FLAT_ENGINE_CACHE[0], **kwargs)
 
 
 def test_reset_and_step_shapes():
@@ -94,6 +96,7 @@ def test_termination_auto_reset():
     np.testing.assert_allclose(np.asarray(state.sim.p[2]), 0.35, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_env_rollout_interpret_matches_reference(tiny_engine):
     """The in-kernel auto-resetting eval rollout matches a plain-jnp loop
     with identical semantics (interpret mode, tiny model — the reset

@@ -157,7 +157,18 @@ def _skew_np(a):
     )
 
 
-@pytest.fixture(scope="module", params=["box", "garpez", "humanoid", "ergocub"])
+@pytest.fixture(
+    scope="module",
+    params=[
+        "box",
+        "garpez",
+        # humanoid/ergocub-scale oracle rows are slow-tier: each one adds
+        # ~10 x 13s of cold XLA compiles on a single-core box, and the
+        # same comparisons run on box/garpez in the default tier.
+        pytest.param("humanoid", marks=pytest.mark.slow),
+        pytest.param("ergocub", marks=pytest.mark.slow),
+    ],
+)
 def floating_pair(request):
     """(JaxSimModel, MjModel, dof-address map) for a floating-base robot.
 

@@ -53,6 +53,7 @@ def test_quadruped_structure(quadruped_model):
     assert model.kin_dyn_parameters.contact_parameters.point.shape == (40, 3)
 
 
+@pytest.mark.slow
 def test_quadruped_settles_standing(quadruped_model, stand_pose):
     model, s0 = quadruped_model, stand_pose
     data = js.JaxSimModelData.build(

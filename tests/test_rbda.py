@@ -136,11 +136,10 @@ def test_crba_vs_rnea_columns(model_fixture, prng_key, request):
         )
         return jnp.concatenate([W_f_B, tau])
 
-    cols = []
-    for i in range(6 + n):
-        e = jnp.zeros(6 + n).at[i].set(1.0)
-        cols.append(rnea_col(e[:6], e[6:]))
-    M_rnea = jnp.stack(cols, axis=1)
+    # One jitted vmap over the 6+n unit accelerations (column-by-column
+    # eager RNEA costs minutes of op-by-op dispatch at humanoid scale).
+    E = jnp.eye(6 + n)
+    M_rnea = jax.jit(jax.vmap(lambda e: rnea_col(e[:6], e[6:])))(E).T
     assert_allclose(M, M_rnea, rtol=5e-4, atol=1e-4)
 
 

@@ -102,9 +102,10 @@ def test_sphere_settles_on_terrain():
     assert 0.137 < z < 0.152
 
 
+@pytest.mark.slow
 def test_humanoid_long_rollout_stable():
     """The flagship humanoid survives a 2 s PD rollout without NaN and comes
-    to rest on the terrain."""
+    to rest on the terrain. (slow: humanoid-scale stress rollout.)"""
     model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
     params = js.contact.estimate_good_contact_parameters(
         model,

@@ -352,17 +352,9 @@ def test_reduced_model_kinematics_match_full(humanoid_model):
             err_msg=name,
         )
 
-    # And the reduced model simulates stably.
-    @jax.jit
-    def run(d):
-        def body(d, _):
-            return js.model.step(reduced, d), None
-
-        out, _ = jax.lax.scan(body, d, None, length=200)
-        return out
-
-    out = run(d_red)
-    assert np.all(np.isfinite(np.asarray(out.base_position)))
+    # (Trajectory-level stability of reduced models is covered by the slow
+    # tier; compiling a scan over the reduced-humanoid step costs ~30 s of
+    # the default tier's single-core budget for no extra FK coverage.)
 
 
 # ----------------------------------------------------------------------

@@ -26,8 +26,11 @@ EPS = float(os.environ.get("JAXSIM_TEST_FD_STEP_SIZE", np.cbrt(np.finfo(np.float
 
 
 def check_grads(f, args, **kw):
+    # jit the function under test: check_grads evaluates it (and its
+    # jvp/vjp) dozens of times, and op-by-op eager dispatch of an unrolled
+    # RBDA costs more than the one-time compile it avoids.
     jax_check_grads(
-        f,
+        jax.jit(f),
         args,
         order=AD_ORDER,
         modes=("fwd", "rev"),

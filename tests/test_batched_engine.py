@@ -154,7 +154,9 @@ def garpez_setup():
 
 def test_trajectory_equivalence_garpez(garpez_setup):
     """Default-tier twin of test_trajectory_equivalence on the 3-DoF
-    garpez model: 20 full steps of engine vs generic js.model.step."""
+    garpez model: 20 full steps of engine vs generic js.model.step.
+    (eng.rollout's lax.scan wrapper is separately exercised by the plane
+    -terrain and domain-randomization tests.)"""
     model, eng, datas = garpez_setup
     tau_fn = lambda s, sd: -20.0 * s - 0.2 * sd
     step_ref = jax.jit(
@@ -180,14 +182,6 @@ def test_trajectory_equivalence_garpez(garpez_setup):
     assert_allclose(
         jnp.moveaxis(st.p, -1, 0), d.base_position, rtol=1e-2, atol=2e-3
     )
-
-
-def test_rollout_scan(garpez_setup):
-    """lax.scan rollout runs on the engine."""
-    model, eng, datas = garpez_setup
-    st = eng.state_from_data(datas)
-    out = jax.jit(lambda s: eng.rollout(s, 5))(st)
-    assert np.all(np.isfinite(np.asarray(out.p)))
 
 
 @pytest.mark.slow
@@ -1978,7 +1972,7 @@ def test_engine_accepts_all_terrain_contact_combos(terrain_kind, contact):
     # full-iteration solves are covered by the equivalence tests).
     import dataclasses as _dc
 
-    eng = _dc.replace(eng, rigid_iterations=4, rr_iterations=4)
+    eng = _dc.replace(eng, rigid_iterations=2, rr_iterations=2)
     assert eng.terrain_kind == terrain_kind
     st = eng.init_state(2, base_position=(0.0, 0.0, 0.05))
     out = jax.jit(lambda s: eng.step(s))(st)

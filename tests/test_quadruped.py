@@ -79,8 +79,11 @@ def test_quadruped_settles_standing(quadruped_model, stand_pose):
     assert float(jnp.linalg.norm(out.base_velocity[:3])) < 0.3
 
 
+@pytest.mark.slow
 def test_quadruped_fast_path(quadruped_model):
-    """The batch-minor engine accepts the quadruped (soft contacts)."""
+    """The batch-minor engine accepts the quadruped (soft contacts).
+    (slow: the 13-link engine rollout compile is ~20 s of single-core
+    budget; the engine envelope itself is asserted cheaply below.)"""
     from jaxsim_tpu.ops.batched_engine import BatchedEngine
 
     eng = BatchedEngine.build(quadruped_model)
@@ -88,6 +91,15 @@ def test_quadruped_fast_path(quadruped_model):
     out = jax.jit(lambda s: eng.rollout(s, 20))(st)
     assert out.p.shape[-1] == 8
     assert bool(jnp.all(jnp.isfinite(out.p)))
+
+
+def test_quadruped_engine_envelope(quadruped_model):
+    """BatchedEngine.build accepts the quadruped (cheap eager check — the
+    stepped fast-path equivalence is in the slow tier)."""
+    from jaxsim_tpu.ops.batched_engine import BatchedEngine
+
+    eng = BatchedEngine.build(quadruped_model)
+    assert eng.n_joints == 12 and eng.n_points == 40
 
 
 def test_quadruped_reduce(quadruped_model):

@@ -91,7 +91,10 @@ def test_box_settles_on_terrain():
     assert float(jnp.abs(data_tf.base_linear_velocity_inertial).max()) < 1e-3
 
 
+@pytest.mark.slow
 def test_sphere_settles_on_terrain():
+    """(slow: the 50-point fibonacci sphere is the most expensive soft-
+    contact compile in the suite; box settling covers the default tier.)"""
     model = js.JaxSimModel.build_from_model_description(models.build_sphere_urdf())
     data = js.JaxSimModelData.build(model, base_position=jnp.array([0.0, 0.0, 0.3]))
     data_tf = rollout(model, data, 3000)

@@ -517,12 +517,12 @@ def test_step_backend_auto_matches_generic(humanoid_model):
     from jaxsim_tpu.api.model import _resolve_step_engine
 
     assert humanoid_model.backend == "auto"
-    assert _resolve_step_engine(humanoid_model, None) is not None
 
     # The stepped equivalence runs on garpez: dispatch mechanics are
     # morphology-independent, and the generic humanoid step is the single
     # most expensive compile in the suite on a single-core box.
     m_auto = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
+    assert _resolve_step_engine(m_auto, None) is not None
     m_gen = js.JaxSimModel.build_from_model_description(
         models.build_garpez_urdf(), backend="generic"
     )

@@ -333,9 +333,35 @@ def test_engine_fixed_base():
     assert_allclose(out.s[:, 0], ref.joint_positions, rtol=1e-3, atol=1e-3)
 
 
+def test_pallas_interpret_micro_model():
+    """The fused kernel matches the engine in interpreter mode on the
+    SMALLEST engine config (fixed-base pendulum, no contacts): interpret
+    cost scales with the kernel's op count, and this keeps one honest
+    kernel-vs-engine check in the default tier (~1/5 the cost of the
+    tiny floating-contact model, which runs in the slow tier below)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jaxsim_tpu.ops import pallas_step as ps
+
+    model = js.JaxSimModel.build_from_model_description(models.build_pendulum_urdf(1))
+    eng = BatchedEngine.build(model)
+    st = eng.init_state(1024, key=jax.random.PRNGKey(3))
+    st = st.replace(s=0.4 * jnp.ones_like(st.s))
+    policy = lambda s: -2.0 * s.s - 0.1 * s.sd
+    ref = eng.step(st, policy(st))
+    with pltpu.force_tpu_interpret_mode():
+        out = ps.untile_state(ps.build_pallas_step(eng, policy)(ps.tile_state(st)))
+    for f in ["s", "sd"]:
+        assert_allclose(
+            getattr(out, f), getattr(ref, f), rtol=1e-5, atol=1e-5, err_msg=f
+        )
+
+
+@pytest.mark.slow
 def test_pallas_interpret_small_model():
-    """The fused kernel matches the engine in interpreter mode (small model
-    keeps this fast on CPU)."""
+    """The fused kernel matches the engine in interpreter mode (floating
+    base + soft contact; the micro fixed-base twin runs in the default
+    tier)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from jaxsim_tpu.ops import pallas_step as ps
@@ -803,6 +829,7 @@ def test_diff_pallas_rollout_policy_gradient():
         assert float(jnp.abs(grad).max()) > 0.0
 
 
+@pytest.mark.slow
 def test_rotated_base_quaternion_equivalence():
     """Regression: the engine's quaternion derivative must use the INERTIAL
     convention q̇ = ½[0,ω]⊗q like the generic path — a strongly rotated base
@@ -829,7 +856,15 @@ def test_rotated_base_quaternion_equivalence():
     assert_allclose(st.p[:, 0], data.base_position, atol=1e-5)
 
 
-@pytest.mark.parametrize("integrator_name", ["rk4", "rk4fast"])
+@pytest.mark.parametrize(
+    "integrator_name",
+    [
+        "rk4",
+        # rk4fast differs from rk4 only by freezing contact forces at t0;
+        # its extra generic-path 4-stage compile lives in the slow tier.
+        pytest.param("rk4fast", marks=pytest.mark.slow),
+    ],
+)
 def test_engine_rk4_equivalence(integrator_name):
     """Engine RK4 / RK4-fast trajectories match the generic js.model.step
     path with the corresponding integrator (tiny 2-link model in contact —
@@ -1827,6 +1862,7 @@ def test_engine_heightmap_soft_equivalence():
     assert_allclose(st.q[:, 0], data.base_quaternion, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_engine_heightmap_bumpy_settles():
     """Box batch settles ON a bumpy heightmap (each env at its local
     surface height) — the engine evaluates the grid per point per env."""

@@ -379,6 +379,7 @@ def test_fused_eval_rollout_wrapper():
         )
 
 
+@pytest.mark.slow
 def test_scan_rollout_with_policy():
     env = _env(episode_length=10)
     state, _ = env.reset(jax.random.PRNGKey(2), 4)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from jaxsim_tpu.ops.qp import solve_qp
 from tests.conftest import assert_allclose
@@ -140,10 +141,11 @@ def _scipy_reference_qp(Q, q, G, h):
     return res.x
 
 
-def test_admm_matches_scipy_on_humanoid_delassus():
-    """ADMM forces agree with a tight independent interior solution on
-    Delassus systems sampled from a humanoid standing state (objective
-    gap < 1e-6 relative; force error documented in docs/architecture.md)."""
+@pytest.fixture(scope="module")
+def humanoid_qp():
+    """One shared humanoid standing-state contact QP for the two scipy
+    cross-check tests below (the model+data build and the Delassus
+    assembly dominate their cold cost)."""
     import jaxsim_tpu.api as js
     from jaxsim_tpu import models
 
@@ -155,9 +157,17 @@ def test_admm_matches_scipy_on_humanoid_delassus():
         base_position=jnp.array([0.0, 0.0, 0.84]),
         joint_positions=0.05 * jax.random.normal(jax.random.PRNGKey(3), (23,)),
     )
-    # Restrict to the feet points to keep scipy's dense solve tractable.
     mu = 0.6
     Q, q, G, h = _contact_qp_from_state(model, data, mu)
+    return Q, q, G, h, mu
+
+
+def test_admm_matches_scipy_on_humanoid_delassus(humanoid_qp):
+    """ADMM forces agree with a tight independent interior solution on
+    Delassus systems sampled from a humanoid standing state (objective
+    gap < 1e-6 relative; force error documented in docs/architecture.md)."""
+    # Restrict to the feet points to keep scipy's dense solve tractable.
+    Q, q, G, h, mu = humanoid_qp
     sel = slice(0, 24)  # 8 points (one foot box) x 3
     gsel = slice(0, 48)
     Qs, qs, Gs, hs = Q[sel, sel], q[sel], G[gsel, sel], h[gsel]
@@ -284,25 +294,13 @@ def _dense_apgd(Q, q, mu, iterations, x0):
     return np.asarray(x)
 
 
-def test_apgd_cone_matches_scipy_on_humanoid_delassus():
+def test_apgd_cone_matches_scipy_on_humanoid_delassus(humanoid_qp):
     """The engine's APGD cone solve reaches the scipy cone-QP optimum on a
     humanoid-foot Delassus system at the auto iteration budget, and a
     warm start from a perturbed optimum reaches the same accuracy in a
     fraction of the iterations (the rigid hot path carries forces between
     steps in state.m for exactly this reason)."""
-    import jaxsim_tpu.api as js
-    from jaxsim_tpu import models
-
-    model = js.JaxSimModel.build_from_model_description(
-        models.build_humanoid_urdf()
-    )
-    data = js.JaxSimModelData.build(
-        model,
-        base_position=jnp.array([0.0, 0.0, 0.84]),
-        joint_positions=0.05 * jax.random.normal(jax.random.PRNGKey(3), (23,)),
-    )
-    mu = 0.6
-    Q, q, _, _ = _contact_qp_from_state(model, data, mu)
+    Q, q, _, _, mu = humanoid_qp
     sel = slice(0, 24)  # 8 points (one foot box) x 3
     Qs, qs = np.asarray(Q[sel, sel], dtype=np.float64), np.asarray(
         q[sel], dtype=np.float64

@@ -52,10 +52,11 @@ def test_box_hovering_under_exact_counterforce():
 def test_zero_gravity_momentum_conservation():
     """Without gravity/contacts, linear momentum of a swinging chain is
     conserved (reference ``test_simulations.py:88``; morphology-independent,
-    so the small model keeps the compile out of the fast tier's budget)."""
-    model = js.JaxSimModel.build_from_model_description(
-        models.build_garpez_urdf(), gravity=0.0
-    )
+    so the smallest floating model keeps the compile out of the fast
+    tier's budget)."""
+    from tests.test_batched_engine import _tiny_floating_model
+
+    model = _tiny_floating_model(gravity=0.0)
     # Disable contacts by starting far above the terrain.
     key = jax.random.PRNGKey(1)
     data = js.JaxSimModelData.build(

@@ -856,21 +856,15 @@ def test_rotated_base_quaternion_equivalence():
     assert_allclose(st.p[:, 0], data.base_position, atol=1e-5)
 
 
-@pytest.mark.parametrize(
-    "integrator_name",
-    [
-        "rk4",
-        # rk4fast differs from rk4 only by freezing contact forces at t0;
-        # its extra generic-path 4-stage compile lives in the slow tier.
-        pytest.param("rk4fast", marks=pytest.mark.slow),
-    ],
-)
+@pytest.mark.slow
+@pytest.mark.parametrize("integrator_name", ["rk4", "rk4fast"])
 def test_engine_rk4_equivalence(integrator_name):
     """Engine RK4 / RK4-fast trajectories match the generic js.model.step
-    path with the corresponding integrator (tiny 2-link model in contact —
-    the trajectory tests above cover tree depth; the RK4 stage math is
-    model-independent, and the 4-stage generic graph is the single most
-    expensive compile in the suite at humanoid scale)."""
+    path with the corresponding integrator (tiny 2-link model in contact).
+    slow tier: even at tiny scale the generic 4-stage reference is one of
+    the suite's biggest compiles; default-tier RK4 coverage is the generic
+    integrators-agree pendulum test, and the engine RK4 path is also held
+    by the sharded config-5 test and the bench config-5 extra."""
     from jaxsim_tpu.api.model import IntegratorType
 
     itype = {

@@ -38,7 +38,13 @@ def rollout(model, data, n_steps, tau_fn=None):
     "contact_model, contact_params",
     [
         (RigidContacts(), RigidContactsParams.build(mu=0.5, K=1e3, D=63.0)),
-        (RelaxedRigidContacts(), RelaxedRigidContactsParams.build()),
+        # The generic relaxed-rigid settling compile is covered by the
+        # engine equivalence test; keep one generic hard-contact settle.
+        pytest.param(
+            RelaxedRigidContacts(),
+            RelaxedRigidContactsParams.build(),
+            marks=pytest.mark.slow,
+        ),
     ],
     ids=["rigid", "relaxed_rigid"],
 )

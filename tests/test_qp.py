@@ -277,21 +277,29 @@ def _dense_apgd(Q, q, mu, iterations, x0):
 
     L = 1.25 * np.linalg.norm(Q, 2)
     one = jnp.ones(())
-    x = y = jnp.asarray(x0)
-    t = 1.0
-    for _ in range(iterations):
-        p = y - (Q @ y + q) / L
-        xs = []
-        for c in range(len(p) // 3):
-            fx, fy, fz = BatchedEngine._project_friction_cone(
-                [p[3 * c], p[3 * c + 1], p[3 * c + 2]], mu, one
-            )
-            xs += [fx, fy, fz]
-        x_n = jnp.stack(xs)
-        t_n = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
-        y = x_n + ((t - 1.0) / t_n) * (x_n - x)
-        x, t = x_n, t_n
-    return np.asarray(x)
+
+    # One jitted unroll instead of thousands of eager dispatches (the
+    # iteration count is a Python constant, mirroring the engine's
+    # fixed-budget unroll).
+    @jax.jit
+    def run(Qj, qj, x0j):
+        x = y = x0j
+        t = 1.0
+        for _ in range(iterations):
+            p = y - (Qj @ y + qj) / L
+            xs = []
+            for c in range(x0j.shape[0] // 3):
+                fx, fy, fz = BatchedEngine._project_friction_cone(
+                    [p[3 * c], p[3 * c + 1], p[3 * c + 2]], mu, one
+                )
+                xs += [fx, fy, fz]
+            x_n = jnp.stack(xs)
+            t_n = 0.5 * (1.0 + np.sqrt(1.0 + 4.0 * t * t))
+            y = x_n + ((t - 1.0) / t_n) * (x_n - x)
+            x, t = x_n, t_n
+        return x
+
+    return np.asarray(run(jnp.asarray(Q), jnp.asarray(q), jnp.asarray(x0)))
 
 
 def test_apgd_cone_matches_scipy_on_humanoid_delassus(humanoid_qp):

@@ -9,9 +9,15 @@ test-fast:
 	echo "test-fast wall time: $$((end - start)) s (budget: 480 s cold)"; \
 	exit $$rc
 
-# Opt-in tiers.
+# Opt-in tiers. slow = every test ≤ ~120 s on the 1-core box; stress =
+# bigger horizons / humanoid-scale interpret runs. Both run with FULL XLA
+# optimization (unlike the compile-bound fast tier) so the CPU numerics
+# production users get are exercised somewhere.
 test-slow:
-	python -m pytest tests -q -m slow
+	JAXSIM_TEST_FAST_COMPILE=0 python -m pytest tests -q -m slow
+
+test-stress:
+	JAXSIM_TEST_FAST_COMPILE=0 python -m pytest tests -q -m stress
 
 test-tpu:
 	JAXSIM_TEST_TPU=1 python -m pytest tests -q -m tpu

@@ -904,6 +904,11 @@ def step(
 
 _ENGINE_FALLBACK_WARNED: set = set()
 _STEP_ENGINE_CACHE: dict = {}
+# Identity front cache: id(model) -> (weakref(model), engine). Eager
+# (non-jitted) step() calls hit this without blake2b-hashing every model
+# leaf (which forces device-to-host transfers of the whole kin_dyn tree);
+# the weakref identity check guards against id() reuse after gc.
+_STEP_ENGINE_ID_CACHE: dict = {}
 
 
 def _model_numeric_leaves(model):
@@ -920,6 +925,14 @@ def _model_numeric_leaves(model):
 
 def _build_step_engine(model):
     from jaxsim_tpu.ops.batched_engine import BatchedEngine
+
+    # Fast path: the exact same model OBJECT was seen before (the common
+    # eager-stepping pattern) — skip the content hash entirely.
+    import weakref
+
+    hit = _STEP_ENGINE_ID_CACHE.get(id(model))
+    if hit is not None and hit[0]() is model:
+        return hit[1]
 
     # The engine freezes the model's NUMERIC content into static tuples, so
     # the cache must key on that content — hash(model)/hash(kin_dyn) are
@@ -945,9 +958,14 @@ def _build_step_engine(model):
         # falls back to the generic path.
         with jax.ensure_compile_time_eval():
             eng = BatchedEngine.build(model)
-        if len(_STEP_ENGINE_CACHE) >= 64:
-            _STEP_ENGINE_CACHE.clear()
+        # Evict oldest-first (dict preserves insertion order) so hot
+        # engines survive workloads cycling through many model variants.
+        while len(_STEP_ENGINE_CACHE) >= 64:
+            del _STEP_ENGINE_CACHE[next(iter(_STEP_ENGINE_CACHE))]
         _STEP_ENGINE_CACHE[key] = eng
+    while len(_STEP_ENGINE_ID_CACHE) >= 64:
+        del _STEP_ENGINE_ID_CACHE[next(iter(_STEP_ENGINE_ID_CACHE))]
+    _STEP_ENGINE_ID_CACHE[id(model)] = (weakref.ref(model), eng)
     return eng
 
 

@@ -242,115 +242,116 @@ class KinematicGraph(Sequence[LinkDescription]):
 
         Removed joints are locked at their ``initial_position``; their child
         links are lumped into the parents and become frames of the reduced
-        graph (algorithm mirrors reference ``kinematic_graph.py:379-611``).
+        graph (same observable behavior as reference
+        ``kinematic_graph.py:379-611``; the merge bookkeeping here uses an
+        explicit absorbed→survivor map instead of dict aliasing).
         """
-        full_graph = self
-        joint_names_to_remove = list(
-            set(full_graph.joint_names()) - set(considered_joints)
-        )
+        keep = set(considered_joints)
+        unknown = keep - set(self.joint_names())
+        if unknown:
+            raise ValueError(f"Joints not part of the graph: {unknown}")
 
-        if len(joint_names_to_remove) == 0:
-            logging.info("The kinematic graph doesn't need to be reduced")
+        locked = [name for name in self.joint_names() if name not in keep]
+        if not locked:
+            logging.info("Graph reduction requested with no joints to lock")
             return copy.deepcopy(self)
 
-        if len(set(considered_joints) - set(full_graph.joint_names())) != 0:
-            extra = set(considered_joints) - set(full_graph.joint_names())
-            raise ValueError(f"Joints not part of the graph: {extra}")
+        # Working copies: ``pool`` maps each surviving link name to its
+        # (possibly lumped) working object; ``absorbed_by`` records, for every
+        # removed link, the name of the link that absorbed its inertia.
+        pool = copy.deepcopy(self.links_dict)
+        working_joints = copy.deepcopy(self.joints_dict)
+        fk = KinematicGraphTransforms(graph=self)
 
-        links_dict = copy.deepcopy(full_graph.links_dict)
-        joints_dict = copy.deepcopy(full_graph.joints_dict)
+        doomed = {working_joints[name].child.name for name in locked}
 
-        fk = KinematicGraphTransforms(graph=full_graph)
+        def survivor_of(name: str) -> str:
+            """Chase the merge chain to the link that now carries ``name``."""
+            while name in absorbed_by:
+                name = absorbed_by[name]
+            return name
 
-        # 1. Lump removed links into their parents, leaf → root.
-        links_to_remove = [
-            joint.child.name
-            for joint_name, joint in joints_dict.items()
-            if joint_name in joint_names_to_remove
-        ]
+        absorbed_by: dict[str, str] = {}
 
-        for link in reversed(list(full_graph)):
-            if link.name not in links_to_remove:
+        # Fold doomed links into their parents. Reversed-BFS order visits
+        # children before parents, so a doomed link's own parent has not been
+        # folded away yet when the link is processed — each merge target is
+        # therefore resolved through ``survivor_of`` only for bookkeeping
+        # consistency, never more than one hop deep at merge time.
+        for node in reversed(list(self)):
+            if node.name not in doomed:
                 continue
-
-            link_to_remove = links_dict[link.name]
-            parent = links_dict[link.parent_name]
-
-            lumped_link = parent.lump_with(
-                link=link_to_remove,
+            child = pool.pop(node.name)
+            host_name = survivor_of(node.parent_name)
+            host = pool[host_name]
+            pool[host_name] = host.lump_with(
+                link=child,
                 lumped_H_removed=fk.relative_transform(
-                    relative_to=parent.name, name=link_to_remove.name
+                    relative_to=host_name, name=child.name
                 ),
             )
+            absorbed_by[child.name] = host_name
 
-            links_dict.pop(link_to_remove.name)
-            links_dict.pop(parent.name)
-            links_dict[lumped_link.name] = lumped_link
-            # Alias the removed name to the lumped link (used by later steps).
-            links_dict[link_to_remove.name] = lumped_link
-            # Fix aliases created by earlier lumpings that pointed at the
-            # link we just replaced.
-            for alias in [
-                name
-                for name, l in links_dict.items()
-                if name != l.name and l.name == link_to_remove.name
-            ]:
-                links_dict[alias] = lumped_link
-
-        # 2. Re-pose joints whose parent link was removed.
-        for joint_name in considered_joints:
-            joint = joints_dict[joint_name]
-            if joint.parent.name not in links_to_remove:
+        # Kept joints hanging off a removed link get re-attached to the link
+        # that absorbed it, with the pose re-expressed in the new parent.
+        for name in considered_joints:
+            joint = working_joints[name]
+            if joint.parent.name not in doomed:
                 continue
+            new_parent = pool[survivor_of(joint.parent.name)]
             joint.pose = fk.relative_transform(
-                relative_to=links_dict[joint.parent.name].name, name=joint.name
+                relative_to=new_parent.name, name=joint.name
             )
-            joint.parent = links_dict[joint.parent.name]
+            joint.parent = new_parent
 
-        # 3. Rebuild the graph; removed links come back as frames.
-        full_graph_links_dict = copy.deepcopy(full_graph.links_dict)
-        links_to_keep = [
-            l for name, l in links_dict.items() if name not in links_to_remove
-        ]
-        for link in links_to_keep:
-            full_graph_links_dict[link.name] = link
+        # Rebuild connectivity from the kept joints only. Removed links are
+        # fed back in as PRISTINE copies (their inertia already lives in the
+        # lumped survivors) so _create_graph drops them as unconnected and
+        # they re-enter the reduced graph as frames.
+        rebuild_links = {
+            name: copy.deepcopy(link)
+            for name, link in self.links_dict.items()
+            if name in doomed
+        }
+        rebuild_links.update(pool)
 
         (
-            reduced_root_node,
-            reduced_joints,
-            reduced_frames,
-            unconnected_links,
-            unconnected_joints,
-            _unconnected_frames,
+            new_root,
+            kept_joints,
+            carried_frames,
+            orphan_links,
+            orphan_joints,
+            _orphan_frames,
         ) = KinematicGraph._create_graph(
-            links=list(full_graph_links_dict.values()),
-            joints=[joints_dict[name] for name in considered_joints],
-            root_link_name=full_graph.root.name,
+            links=list(rebuild_links.values()),
+            joints=[working_joints[name] for name in considered_joints],
+            root_link_name=self.root.name,
         )
 
-        for link in unconnected_links:
-            logging.debug(f"Link '{link.name}' became a frame")
+        for orphan in orphan_links:
+            logging.debug(f"Demoting lumped link '{orphan.name}' to a frame")
 
         reduced_graph = KinematicGraph(
-            root=reduced_root_node,
-            joints=reduced_joints,
-            frames=copy.deepcopy(self.frames) + unconnected_links + reduced_frames,
-            root_pose=full_graph.root_pose,
+            root=new_root,
+            joints=kept_joints,
+            frames=copy.deepcopy(self.frames) + orphan_links + carried_frames,
+            root_pose=self.root_pose,
             _joints_removed=(
                 self._joints_removed
-                + unconnected_joints
-                + [joints_dict[name] for name in joint_names_to_remove]
+                + orphan_joints
+                + [working_joints[name] for name in locked]
             ),
         )
 
-        # 4. Re-pose frames onto their (possibly new) parent links, using the
-        #    FULL-graph FK so the kinematics are unaltered.
+        # Re-express every frame on its surviving parent link. Poses come
+        # from the FULL-graph FK (at the locked joint positions) so the
+        # world-frame kinematics are unchanged by the reduction.
         fk_reduced = KinematicGraphTransforms(graph=reduced_graph)
         for frame in reduced_graph.frames:
-            new_parent = fk_reduced.find_parent_link_of_frame(name=frame.name)
-            assert new_parent in reduced_graph.links_dict, new_parent
-            frame.pose = fk.relative_transform(relative_to=new_parent, name=frame.name)
-            frame.parent_name = new_parent
+            anchor = fk_reduced.find_parent_link_of_frame(name=frame.name)
+            assert anchor in reduced_graph.links_dict, anchor
+            frame.pose = fk.relative_transform(relative_to=anchor, name=frame.name)
+            frame.parent_name = anchor
             frame.mass = 0.0
             frame.inertia = np.zeros((6, 6))
 

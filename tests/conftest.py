@@ -34,11 +34,15 @@ import jax
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
-    # The CPU tier is bounded by XLA compile time (unrolled RBDA graphs on
-    # a single core): skipping the expensive optimization passes cuts
+    # The CPU fast tier is bounded by XLA compile time (unrolled RBDA graphs
+    # on a single core): skipping the expensive optimization passes cuts
     # engine-step compiles ~40% at a small runtime cost that the short
-    # test workloads never recoup. TPU runs keep full optimization.
-    jax.config.update("jax_disable_most_optimizations", True)
+    # test workloads never recoup. The opt-in slow/stress tiers run with
+    # FULL optimization (Makefile sets JAXSIM_TEST_FAST_COMPILE=0) so at
+    # least one CPU tier tests the optimized-XLA numerics production CPU
+    # users get. TPU runs always keep full optimization.
+    if os.environ.get("JAXSIM_TEST_FAST_COMPILE", "1") == "1":
+        jax.config.update("jax_disable_most_optimizations", True)
 
 # Persistent compilation cache: the suite is compile-dominated (many jitted
 # physics graphs); repeat runs hit the cache and finish in minutes. The dir

@@ -829,12 +829,13 @@ def test_diff_pallas_rollout_policy_gradient():
         assert float(jnp.abs(grad).max()) > 0.0
 
 
-@pytest.mark.slow
 def test_rotated_base_quaternion_equivalence():
     """Regression: the engine's quaternion derivative must use the INERTIAL
     convention q̇ = ½[0,ω]⊗q like the generic path — a strongly rotated base
     with large angular velocity exposes a flipped cross term that identity
-    orientations hide."""
+    orientations hide. Default tier deliberately (ADVICE r03): the other
+    default-tier trajectory tests use near-identity orientations that hide
+    exactly this bug, and the tiny-model generic compile is small."""
     # Model-independent convention check: the tiny floating model keeps the
     # generic-path compile (the dominant cost) small.
     model = _tiny_floating_model()

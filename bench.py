@@ -474,6 +474,52 @@ def main() -> None:
 
             run_extra("grad", bench_grad_xla)
 
+    if (
+        os.environ.get("BENCH_MFU", "1") == "1"
+        and not use_vmap_path
+        and bench_path in ("fused", "pallas", "batched")
+    ):
+        # FLOP/byte accounting (roofline). XLA's cost analysis reports ~0
+        # for custom (Mosaic) kernels, so FLOPs/step are taken from the
+        # numerically IDENTICAL XLA engine step at a small batch and scaled
+        # — the FLOP count is a property of the math, not the backend.
+        try:
+            eng_c = BatchedEngine.build(model)
+            Bs = 512
+            st_c = eng_c.init_state(Bs)
+            comp = jax.jit(lambda s: eng_c.step(s)).lower(st_c).compile()
+            ca = comp.cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            flops_per_env_step = float(ca.get("flops", 0.0)) / Bs
+            # Per-step HBM traffic: the per-launch paths round-trip the
+            # state each step; the fused path keeps it in VMEM for the
+            # whole horizon (state bytes amortized over n_steps).
+            state_bytes = sum(
+                a.size * a.dtype.itemsize
+                for a in jax.tree.leaves(eng_c.init_state(batch_size))
+            )
+            per_launch_bytes = 2.0 * state_bytes  # read + write per step
+            hbm_bytes_per_step = (
+                per_launch_bytes / n_steps
+                if bench_path == "fused"
+                else per_launch_bytes
+            )
+            achieved_flops = flops_per_env_step * env_steps_per_s
+            # v5e per chip: 197 TFLOP/s bf16 MXU peak (the conventional MFU
+            # denominator) and 819 GB/s HBM. The kernel is f32 VPU-bound
+            # elementwise math — see docs/ops.md for the roofline reading.
+            extra_latency["flops_per_env_step"] = round(flops_per_env_step, 1)
+            extra_latency["achieved_tflops"] = round(achieved_flops / 1e12, 3)
+            extra_latency["mfu_vs_bf16_peak"] = round(
+                achieved_flops / 197e12, 4
+            )
+            extra_latency["hbm_bytes_per_step"] = round(hbm_bytes_per_step, 1)
+            extra_latency["hbm_util"] = round(
+                hbm_bytes_per_step * env_steps_per_s / batch_size / 819e9, 6
+            )
+        except Exception as e:  # noqa: BLE001 — accounting must not kill bench
+            extra_latency["mfu_error"] = f"{type(e).__name__}: {e}"
+
     if os.environ.get("BENCH_FULL", "1") == "1":
         # BASELINE asks for B=1/1024 latencies too (generic step path).
         # On by default since round 4: the driver artifact must carry the

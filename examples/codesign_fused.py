@@ -12,6 +12,8 @@ env*steps/s reverse-mode on one v5e chip for the humanoid).
 Run:  PYTHONPATH=. python examples/codesign_fused.py
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -22,11 +24,16 @@ from jaxsim_tpu.ops.batched_engine import BatchedEngine
 
 
 def main():
+    # Smoke mode (set by tests/test_examples.py): shrink the workload so
+    # the example runs in seconds while exercising the same API surface.
+    smoke = os.environ.get("JAXSIM_EXAMPLE_SMOKE", "0") == "1"
     model = js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
     eng = BatchedEngine.build(model)
     base = eng.params()
 
-    state = ps.tile_state(eng.init_state(1024, key=jax.random.PRNGKey(0)))
+    state = ps.tile_state(
+        eng.init_state(128 if smoke else 1024, key=jax.random.PRNGKey(0))
+    )
     import dataclasses
 
     state = dataclasses.replace(
@@ -34,7 +41,9 @@ def main():
     )
 
     policy = lambda st: -20.0 * st.s - 0.5 * st.sd
-    rollout = ps.build_fused_diff_pallas_rollout(eng, 50, params_grad=True)
+    rollout = ps.build_fused_diff_pallas_rollout(
+        eng, 3 if smoke else 50, params_grad=True
+    )
 
     @jax.jit
     @jax.value_and_grad
@@ -45,7 +54,7 @@ def main():
         return jnp.mean(out.s**2) + 0.1 * jnp.mean(out.sd**2)
 
     log_scale = jnp.asarray(0.0)
-    for it in range(20):
+    for it in range(1 if smoke else 20):
         value, grad = loss(log_scale)
         log_scale = log_scale - 0.5 * grad
         print(

@@ -9,6 +9,8 @@ parametrization workflow of the reference (``api/model.py:2461-2593``,
 Run:  PYTHONPATH=. python examples/codesign_link_lengths.py
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -18,6 +20,9 @@ from jaxsim_tpu.api import hw_parameters as hw
 
 
 def main():
+    # Smoke mode (set by tests/test_examples.py): shrink the workload so
+    # the example runs in seconds while exercising the same API surface.
+    smoke = os.environ.get("JAXSIM_EXAMPLE_SMOKE", "0") == "1"
     model = hw.with_hw_metadata(
         js.JaxSimModel.build_from_model_description(models.build_garpez_urdf())
     )
@@ -35,7 +40,7 @@ def main():
         def body(d, _):
             return js.model.step(m, d), None
 
-        data, _ = jax.lax.scan(body, data, None, length=150)
+        data, _ = jax.lax.scan(body, data, None, length=10 if smoke else 150)
         idx = js.link.name_to_idx(m, link_name=tip)
         return js.link.transform(m, data, link_index=idx)[2, 3]
 
@@ -44,7 +49,7 @@ def main():
     # Bound each dimension multiplier to [e^-0.3, e^0.4] ≈ [0.74, 1.49] so
     # the optimized design stays physically sensible.
     log_dims = jnp.zeros((n_links, 3))
-    for it in range(5):
+    for it in range(1 if smoke else 5):
         h, g = value_and_grad(log_dims)
         log_dims = jnp.clip(log_dims + 0.5 * g, -0.3, 0.4)  # ascend: taller tip
         print(f"iter {it}: tip height after rollout = {float(h):.4f} m,"

@@ -7,6 +7,8 @@ auto-reset — the full environment loop stays inside one jitted scan.
 Run:  PYTHONPATH=. python examples/rl_environment.py
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -17,7 +19,11 @@ from jaxsim_tpu.ops.batched_engine import BatchedEngine
 
 
 def main():
-    model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
+    # Smoke mode (set by tests/test_examples.py): shrink the workload so
+    # the example runs in seconds while exercising the same API surface.
+    smoke = os.environ.get("JAXSIM_EXAMPLE_SMOKE", "0") == "1"
+    build = models.build_garpez_urdf if smoke else models.build_humanoid_urdf
+    model = js.JaxSimModel.build_from_model_description(build())
     model = model.replace(
         contact_params=js.contact.estimate_good_contact_parameters(
             model,
@@ -28,12 +34,12 @@ def main():
     )
     env = BatchedEnv(
         engine=BatchedEngine.build(model),
-        episode_length=150,
+        episode_length=5 if smoke else 150,
         healthy_z_range=(0.5, 1.5),
         reset_base_position=(0.0, 0.0, 0.9),
     )
 
-    B = 512
+    B = 32 if smoke else 512
     state, obs = env.reset(jax.random.PRNGKey(0), B)
     n = env.action_size
 
@@ -45,7 +51,7 @@ def main():
     policy = lambda obs: -20.0 * obs[:n] - 0.2 * obs[n : 2 * n] + noise
 
     final, (obs_traj, rew_traj, done_traj) = jax.jit(
-        lambda s: env.rollout(s, policy, 200)
+        lambda s: env.rollout(s, policy, 12 if smoke else 200)
     )(state)
     jax.block_until_ready(rew_traj)
 

@@ -11,6 +11,8 @@ two subtracts per contact point.
 Run:  PYTHONPATH=. python examples/rough_terrain_rl.py
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -20,8 +22,11 @@ from jaxsim_tpu.envs import BatchedEnv
 from jaxsim_tpu.ops.batched_engine import BatchedEngine
 from jaxsim_tpu.terrain import FourierTerrain
 
-BATCH = 4096
-STEPS = 500
+# Smoke mode (set by tests/test_examples.py): shrink the workload so the
+# example runs in seconds while exercising the same API surface.
+_SMOKE = os.environ.get("JAXSIM_EXAMPLE_SMOKE", "0") == "1"
+BATCH = 128 if _SMOKE else 4096
+STEPS = 10 if _SMOKE else 500
 
 
 def main():
@@ -35,7 +40,7 @@ def main():
         engine=BatchedEngine.build(model),
         reset_base_position=(0.0, 0.0, 0.34),
         healthy_z_range=(0.05, 2.0),
-        episode_length=250,
+        episode_length=5 if _SMOKE else 250,
     )
 
     # Every env gets its own terrain patch (translated query), resampled

@@ -3,6 +3,8 @@
 Run:  PYTHONPATH=. MUJOCO_GL=egl python examples/simulate_humanoid.py
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -11,9 +13,13 @@ from jaxsim_tpu import models
 
 
 def main():
+    # Smoke mode (set by tests/test_examples.py): shrink the workload so
+    # the example runs in seconds while exercising the same API surface.
+    smoke = os.environ.get("JAXSIM_EXAMPLE_SMOKE", "0") == "1"
     # Build the model (URDF string from the built-in zoo — any URDF/SDF path
     # works the same way).
-    model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
+    build = models.build_garpez_urdf if smoke else models.build_humanoid_urdf
+    model = js.JaxSimModel.build_from_model_description(build())
     model = model.replace(
         contact_params=js.contact.estimate_good_contact_parameters(
             model,
@@ -31,7 +37,7 @@ def main():
         return js.model.step(model, data, joint_force_references=tau)
 
     trajectory = []
-    for i in range(2000):
+    for i in range(10 if smoke else 2000):
         data = step(model, data)
         if i % 33 == 0:
             trajectory.append(data)
@@ -47,7 +53,7 @@ def main():
             mujoco_data_from_jaxsim,
         )
 
-        mjcf = ModelToMjcf.convert(models.build_humanoid_urdf())
+        mjcf = ModelToMjcf.convert(build())
         mj_model = mujoco.MjModel.from_xml_string(mjcf)
         recorder = MujocoVideoRecorder(mj_model, mujoco.MjData(mj_model))
         for snap in trajectory:

@@ -18,6 +18,8 @@ Run:  PYTHONPATH=. python examples/train_apg.py
 
 import dataclasses
 
+import os
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -27,9 +29,12 @@ from jaxsim_tpu import models
 from jaxsim_tpu.ops import pallas_step as ps
 from jaxsim_tpu.ops.batched_engine import BatchedEngine
 
-HORIZON = 30  # BPTT window length (SHAC-style truncation)
-WINDOWS = 20
-BATCH = 1024
+# Smoke mode (set by tests/test_examples.py): shrink the workload so the
+# example runs in seconds while exercising the same API surface.
+_SMOKE = os.environ.get("JAXSIM_EXAMPLE_SMOKE", "0") == "1"
+HORIZON = 3 if _SMOKE else 30  # BPTT window length (SHAC-style truncation)
+WINDOWS = 1 if _SMOKE else 20
+BATCH = 128 if _SMOKE else 1024
 HIDDEN = 32
 
 

@@ -10,6 +10,8 @@ Run:  PYTHONPATH=. python examples/train_es_mlp.py
 """
 
 import numpy as np
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +22,9 @@ from jaxsim_tpu.ops.batched_engine import BatchedEngine
 
 
 def main():
+    # Smoke mode (set by tests/test_examples.py): shrink the workload so
+    # the example runs in seconds while exercising the same API surface.
+    smoke = os.environ.get("JAXSIM_EXAMPLE_SMOKE", "0") == "1"
     model = js.JaxSimModel.build_from_model_description(models.build_humanoid_urdf())
     model = model.replace(
         contact_params=js.contact.estimate_good_contact_parameters(
@@ -32,7 +37,7 @@ def main():
     eng = BatchedEngine.build(model)
     n, d, H = eng.n_joints, ps.obs_dim(eng.n_joints), 16
 
-    POP, ENVS_PER, STEPS = 8, 1024, 500
+    POP, ENVS_PER, STEPS = (4, 128, 10) if smoke else (8, 1024, 500)
     state = ps.tile_state(eng.init_state(POP * ENVS_PER, key=jax.random.PRNGKey(0)))
     run = jax.jit(
         ps.build_pallas_env_rollout(
@@ -68,7 +73,7 @@ def main():
     mu = 0.1 * jax.random.normal(key, (total,))
     sigma, lr = 0.05, 0.03
 
-    for gen in range(10):
+    for gen in range(1 if smoke else 10):
         key, k = jax.random.split(key)
         eps = jax.random.normal(k, (POP // 2, total))
         eps = jnp.concatenate([eps, -eps])  # antithetic sampling

@@ -1010,9 +1010,9 @@ def _engine_step(model, eng, data, tau_total):
     m = data.contact_state.get("tangential_deformation")
     if m is None or eng.n_points == 0:
         m = jnp.zeros((eng.m_rows, 3))
-    elif eng.contact_model == "rigid":
-        # For rigid engines the m slot carries APGD warm-start forces —
-        # internal solver state the generic data doesn't track.
+    elif eng.contact_model in ("rigid", "relaxed_rigid"):
+        # For rigid/relaxed engines the m slot carries APGD/PCG warm-start
+        # forces — internal solver state the generic data doesn't track.
         m = jnp.zeros((eng.m_rows, 3))
     st = BatchedState(
         s=data.joint_positions,

@@ -390,13 +390,25 @@ class BatchedEngine:
     rr_stiff: float = 0.0
     rr_damp: float = 0.0
     rr_reg: float = 1e-6
-    # Fixed PCG iteration count for the contact solve (0 = auto:
-    # min(3·nC, 32); tests use 3·nC + 4 for exact-solve agreement).
+    # Fixed PCG iteration count for the contact solve (0 = auto: the
+    # solve WARM-STARTS from the previous step's forces carried in the
+    # ``m`` state slot, so min(nC/4 + 6, 10) tracks the exact solve on
+    # rollouts — see docs/ops.md for the accuracy study; tests use
+    # 3·nC + 4 for exact-solve agreement).
     rr_iterations: int = 0
     # Rigid (QP) contact parameters: Delassus regularization and fixed
-    # APGD iteration count (0 = auto: min(2·nC + 16, 48)).
+    # APGD iteration count (0 = auto: min(nC//2 + 10, 24) — the solve
+    # warm-starts from the previous step's forces carried in ``m``; see
+    # docs/ops.md for the accuracy study).
     rigid_reg: float = 1e-6
     rigid_iterations: int = 0
+    # Power-iteration count for the APGD Lipschitz estimate (the safety
+    # factor below covers the from-below convergence of a short run).
+    rigid_power_iterations: int = 4
+    rigid_power_safety: float = 1.6
+    # CG iteration count for the post-step inelastic impact projection
+    # (0 = auto: min(nC//4 + 6, 12); no warm start exists for impulses).
+    rigid_impact_iterations: int = 0
     # Neumann iteration count for the APGD fixed point's implicit VJP
     # (0 = auto: max(64, 3·forward iterations)). The backward contraction
     # is the UNaccelerated PGD map, so it needs more iterations than the
@@ -720,13 +732,13 @@ class BatchedEngine:
                 velocity_representation=js.VelRepr.Inertial,
             )
         )(T(state.p), T(state.q), T(state.s), T(state.v), T(state.sd))
-        # For rigid engines m carries the warm-start contact forces, which
-        # are internal solver state — not material deformation. Contact-free
-        # engines carry one inert padding row (see m_rows) that the generic
-        # data must not see.
+        # For rigid/relaxed-rigid engines m carries the warm-start contact
+        # forces, which are internal solver state — not material
+        # deformation. Contact-free engines carry one inert padding row
+        # (see m_rows) that the generic data must not see.
         if self.n_points == 0:
             m_out = jnp.zeros((0, 3) + state.m.shape[2:])
-        elif self.contact_model == "rigid":
+        elif self.contact_model in ("rigid", "relaxed_rigid"):
             m_out = jnp.zeros_like(state.m)
         else:
             m_out = state.m
@@ -1021,7 +1033,10 @@ class BatchedEngine:
     def _rr_n_iter(self) -> int:
         if self.rr_iterations:
             return int(self.rr_iterations)
-        return min(3 * self.n_points, 32) if self.n_points else 0
+        # Warm-started budget: the previous step's solution is one O(dt)
+        # geometry move away, so a handful of PCG iterations re-converges
+        # it (plus the one A-apply the warm-start residual costs).
+        return min(self.n_points // 4 + 6, 10) if self.n_points else 0
 
     def _minv_apply(self, fact, f_loc, bshape, pr):
         """Zero-velocity articulated substitution passes: link-frame spatial
@@ -1246,11 +1261,13 @@ class BatchedEngine:
         element-wise over the batch, Mosaic-lowerable, no gathers and no
         data-dependent loop bounds.
 
-        Returns ``(f_links, accelerations)`` where ``f_links`` are world
-        6D contact forces per link and ``accelerations`` is ``(W_a, sdd)``
+        Returns ``(f_links, accelerations, xs)`` where ``f_links`` are world
+        6D contact forces per link, ``accelerations`` is ``(W_a, sdd)``
         of the full contact-coupled dynamics (superposition of the free
         ABA and ``M⁻¹ Jᵀ x`` — exact, since forces enter linearly) when
-        ``return_accelerations`` else None.
+        ``return_accelerations`` else None, and ``xs`` is the ``(nC, 3,
+        *b)`` solved point-force array (carried in ``state.m`` by the
+        step so the next solve warm-starts from it).
         """
         pr = pr if pr is not None else self.params()
         bshape = state.p.shape[1:]
@@ -1388,11 +1405,18 @@ class BatchedEngine:
         )
         n_iter = self._rr_n_iter
 
-        def pcg_run(b_arr, o, prec):
-            r0 = b_arr
+        def pcg_run(b_arr, o, prec, x0=None):
+            if x0 is None:
+                x_init = jnp.zeros_like(b_arr)
+                r0 = b_arr
+            else:
+                # Warm start: one extra A-apply buys a near-converged
+                # initial residual on rollouts (geometry moves O(dt)/step).
+                x_init = x0
+                r0 = b_arr - stack_cj(A_apply_ops(o, unstack_cj(x0)))
             z0 = r0 / prec
             carry0 = (
-                jnp.zeros_like(b_arr),
+                x_init,
                 r0,
                 z0,
                 jnp.sum(r0 * z0, axis=(0, 1)),
@@ -1432,11 +1456,11 @@ class BatchedEngine:
         # forward fori_loop or elementwise math, so jax.vjp of the step
         # works both under XLA and when traced INSIDE a Pallas kernel.
         @jax.custom_vjp
-        def pcg_implicit(b_arr, o, prec):
-            return pcg_run(b_arr, o, prec)
+        def pcg_implicit(b_arr, o, prec, x0):
+            return pcg_run(b_arr, o, prec, x0)
 
-        def pcg_fwd(b_arr, o, prec):
-            x_arr = pcg_run(b_arr, o, prec)
+        def pcg_fwd(b_arr, o, prec, x0):
+            x_arr = pcg_run(b_arr, o, prec, x0)
             return x_arr, (x_arr, o, prec)
 
         def pcg_bwd(res, x_bar):
@@ -1446,13 +1470,23 @@ class BatchedEngine:
                 lambda oo: stack_cj(A_apply_ops(oo, unstack_cj(x_arr))), o
             )
             (o_bar,) = vjp_ops(-lam)
-            # prec is a solver detail: at convergence it does not move the
-            # solution, so its implicit cotangent is zero.
-            return lam, o_bar, jnp.zeros_like(prec)
+            # prec and the warm start x0 are solver details: at convergence
+            # they do not move the solution, so their implicit cotangents
+            # are zero.
+            return lam, o_bar, jnp.zeros_like(prec), jnp.zeros_like(x_arr)
 
         pcg_implicit.defvjp(pcg_fwd, pcg_bwd)
 
-        xs = pcg_implicit(neg_b, ops, stack_cj(prec_l))
+        # Warm start from the previous step's forces (threaded through the
+        # otherwise-unused ``m`` state slot, same as the rigid APGD), masked
+        # to the currently active points.
+        x0 = jnp.stack(
+            [
+                jnp.stack([act_l[c] * state.m[c, j] for j in range(3)])
+                for c in range(nC)
+            ]
+        )
+        xs = pcg_implicit(neg_b, ops, stack_cj(prec_l), x0)
         x = unstack_cj(xs)
 
         # World contact wrenches per link.
@@ -1472,7 +1506,7 @@ class BatchedEngine:
             )
 
         if not return_accelerations:
-            return f_links, None
+            return f_links, None, xs
 
         a_cont, sdd_cont = self._minv_apply(fact, f_loc, bshape, pr)
         if self.floating_base:
@@ -1481,7 +1515,7 @@ class BatchedEngine:
             W_a = _xv(W_R[0], W_p[0], a0) + zb6
         else:
             W_a = jnp.zeros((6,) + bshape)
-        return f_links, (W_a, sdd_free + sdd_cont)
+        return f_links, (W_a, sdd_free + sdd_cont), xs
 
     # ----- rigid contacts (acceleration-level QP, matrix-free APGD) -----
 
@@ -1489,7 +1523,15 @@ class BatchedEngine:
     def _rigid_n_iter(self) -> int:
         if self.rigid_iterations:
             return int(self.rigid_iterations)
-        return min(2 * self.n_points + 16, 48) if self.n_points else 0
+        # Warm-started budget (previous step's cone-projected forces are
+        # the initial iterate): half the cold-start count suffices.
+        return min(self.n_points // 2 + 10, 24) if self.n_points else 0
+
+    @property
+    def _rigid_impact_n_iter(self) -> int:
+        if self.rigid_impact_iterations:
+            return int(self.rigid_impact_iterations)
+        return min(self.n_points // 4 + 6, 12) if self.n_points else 0
 
     @property
     def _rigid_bwd_n_iter(self) -> int:
@@ -1708,11 +1750,13 @@ class BatchedEngine:
             )
 
         # Lipschitz bound: power iteration on (G + reg I). Start from the
-        # (deterministic) all-ones direction; 1.25 safety factor covers the
-        # from-below convergence of the estimate. stop_gradient: the exact
-        # fixed point is step-size independent (x = Π(x − γ∇) has the same
-        # solutions for every γ > 0), so L carries no implicit cotangent —
-        # and pruning it keeps the reversed power loop out of Mosaic.
+        # (deterministic) all-ones direction; the safety factor covers the
+        # from-below convergence of a short run (an overestimate only slows
+        # APGD slightly; an underestimate diverges). stop_gradient: the
+        # exact fixed point is step-size independent (x = Π(x − γ∇) has the
+        # same solutions for every γ > 0), so L carries no implicit
+        # cotangent — and pruning it keeps the reversed power loop out of
+        # Mosaic.
         v0 = jnp.ones((nC, 3) + bshape)
         v0 = v0 / jnp.sqrt(jnp.asarray(3.0 * nC))
 
@@ -1724,15 +1768,17 @@ class BatchedEngine:
             )
             return (Av / lam, lam), None
 
+        n_pow = int(self.rigid_power_iterations)
         if _MOSAIC:
             (_, lam_max) = jax.lax.fori_loop(
-                0, 8, lambda k, c: power_step(c, None)[0], (v0, jnp.ones(bshape))
+                0, n_pow, lambda k, c: power_step(c, None)[0],
+                (v0, jnp.ones(bshape)),
             )
         else:
             (_, lam_max), _ = jax.lax.scan(
-                power_step, (v0, jnp.ones(bshape)), None, length=8
+                power_step, (v0, jnp.ones(bshape)), None, length=n_pow
             )
-        L = jax.lax.stop_gradient(1.25 * lam_max + reg)
+        L = jax.lax.stop_gradient(self.rigid_power_safety * lam_max + reg)
 
         # APGD / FISTA with fixed iteration count, warm-started from the
         # previous step's forces (carried in ``state.m``, which is unused
@@ -1917,7 +1963,7 @@ class BatchedEngine:
             pr=pr,
         )
 
-        n_iter = min(self._rigid_n_iter, 24)
+        n_iter = self._rigid_impact_n_iter
 
         def cg_run(b, o):
             def mv(y_arr):
@@ -2019,10 +2065,12 @@ class BatchedEngine:
         if self.n_points == 0:
             return [None] * self.n_links, jnp.zeros_like(state.m)
         if self.contact_model == "relaxed_rigid":
-            f_links, _ = self.relaxed_rigid_contact_forces(
+            f_links, _, xs = self.relaxed_rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr
             )
-            return f_links, jnp.zeros_like(state.m)
+            # ṁ steers m toward the solved forces: the NEXT step's PCG
+            # warm-starts from them (same carry trick as the rigid APGD).
+            return f_links, (xs - state.m) / self.dt
         if self.contact_model == "rigid":
             f_links, _, xs = self.rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr
@@ -2258,10 +2306,11 @@ class BatchedEngine:
             f_links, md = frozen_contacts
             W_a, sdd = self.aba(state, W_R, W_p, W_v, f_links, tau, pr)
         elif self.contact_model == "relaxed_rigid" and self.n_points > 0:
-            _, (W_a, sdd) = self.relaxed_rigid_contact_forces(
+            _, (W_a, sdd), xs = self.relaxed_rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr, return_accelerations=True
             )
-            md = jnp.zeros_like(state.m)
+            # Carry the solved forces in m for next-step PCG warm starts.
+            md = (xs - state.m) / self.dt
         elif self.contact_model == "rigid" and self.n_points > 0:
             _, (W_a, sdd), xs = self.rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr, return_accelerations=True
@@ -2330,10 +2379,11 @@ class BatchedEngine:
             )
             W_a, sdd = self.aba(state, W_R, W_p, W_v, f_tot, tau, pr)
         elif self.contact_model == "relaxed_rigid" and self.n_points > 0:
-            _, (W_a, sdd) = self.relaxed_rigid_contact_forces(
+            _, (W_a, sdd), xs = self.relaxed_rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr, return_accelerations=True
             )
-            md = jnp.zeros_like(state.m)
+            # Carry the solved forces in m for next-step PCG warm starts.
+            md = (xs - state.m) / self.dt
         elif self.contact_model == "rigid" and self.n_points > 0:
             _, (W_a, sdd), xs = self.rigid_contact_forces(
                 state, W_R, W_p, W_v, tau, pr, return_accelerations=True

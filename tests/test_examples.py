@@ -1,0 +1,65 @@
+"""Examples smoke tier (VERDICT r03 weak #8): every ``examples/*.py`` is
+exercised somewhere in the test tiers so API drift cannot rot them silently.
+
+- default tier: import every example module (catches import/syntax drift).
+- slow tier: run the XLA-path examples end-to-end with
+  ``JAXSIM_EXAMPLE_SMOKE=1`` (each example shrinks its own workload).
+- tpu tier: the Pallas-kernel examples (their kernels cannot run on the CPU
+  backend without interpret mode, which is pathological at these scales).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import runpy
+
+import pytest
+
+EXAMPLES_DIR = pathlib.Path(__file__).parent.parent / "examples"
+ALL_EXAMPLES = sorted(p.name for p in EXAMPLES_DIR.glob("*.py"))
+
+# Examples whose hot path is a Pallas kernel (TPU-only).
+PALLAS_EXAMPLES = {
+    "codesign_fused.py",
+    "rough_terrain_rl.py",
+    "train_apg.py",
+    "train_es.py",
+    "train_es_mlp.py",
+}
+XLA_EXAMPLES = [n for n in ALL_EXAMPLES if n not in PALLAS_EXAMPLES]
+
+
+def test_example_inventory():
+    """Every example is classified (a new example must join a tier)."""
+    assert PALLAS_EXAMPLES <= set(ALL_EXAMPLES)
+    assert len(ALL_EXAMPLES) >= 11
+
+
+@pytest.mark.parametrize("name", ALL_EXAMPLES)
+def test_example_imports(name):
+    """Module-level code (imports, constants) executes."""
+    runpy.run_path(str(EXAMPLES_DIR / name), run_name="example_import")
+
+
+def _run_smoke(name, monkeypatch, tmp_path):
+    monkeypatch.setenv("JAXSIM_EXAMPLE_SMOKE", "1")
+    monkeypatch.chdir(tmp_path)  # artifacts (videos, exports) land in tmp
+    runpy.run_path(str(EXAMPLES_DIR / name), run_name="__main__")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", XLA_EXAMPLES)
+def test_example_smoke(name, monkeypatch, tmp_path):
+    """XLA-path examples run end-to-end at smoke scale."""
+    _run_smoke(name, monkeypatch, tmp_path)
+
+
+@pytest.mark.tpu
+@pytest.mark.parametrize("name", sorted(PALLAS_EXAMPLES))
+def test_example_smoke_tpu(name, monkeypatch, tmp_path):
+    """Pallas-kernel examples run end-to-end at smoke scale on a TPU."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires a TPU backend")
+    _run_smoke(name, monkeypatch, tmp_path)

@@ -59,6 +59,38 @@ def capped_box_mesh(x: float, y: float, z: float) -> np.ndarray:
     return np.asarray(tris, dtype=np.float32)
 
 
+def l_bracket_mesh_mm(
+    leg: float = 80.0, width: float = 40.0, thick: float = 16.0
+) -> np.ndarray:
+    """Non-convex L-bracket in MILLIMETER units (exercises the URDF mesh
+    ``scale`` attribute): a horizontal plate spanning [0, leg]x[0, width]x
+    [0, thick] plus a vertical plate spanning [0, thick]x[0, width]x
+    [0, leg]. The inner-corner vertices at (thick, *, thick) are NOT on
+    the convex hull, so hull-based point extraction must differ from
+    vertex extraction."""
+
+    def box(x0, x1, y0, y1, z0, z1):
+        v = np.array(
+            [
+                [x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
+                [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1],
+            ],
+            dtype=np.float32,
+        )
+        quads = [
+            (0, 1, 2, 3), (4, 7, 6, 5), (0, 4, 5, 1),
+            (1, 5, 6, 2), (2, 6, 7, 3), (3, 7, 4, 0),
+        ]
+        tris = []
+        for a, b, c, d in quads:
+            tris.append([v[a], v[b], v[c]])
+            tris.append([v[a], v[c], v[d]])
+        return tris
+
+    tris = box(0, leg, 0, width, 0, thick) + box(0, thick, 0, width, thick, leg)
+    return np.asarray(tris, dtype=np.float32)
+
+
 def write_binary_stl(path: pathlib.Path, tris: np.ndarray) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     n_tri = len(tris)
@@ -159,13 +191,47 @@ def main() -> None:
         )
         parent = child
 
-    # Deep fixed chain: flange and tool0 frames (vendor convention).
+    # End-effector L-bracket: a NON-CONVEX mesh authored in MILLIMETERS
+    # and scaled to meters via the URDF mesh `scale` attribute (the two
+    # real-world messy-asset conventions the robot_descriptions zoo
+    # stresses), attached by a fixed joint so it lumps into wrist_3 on
+    # reduction. Inertia of the 0.08x0.04x0.016 m horizontal leg only
+    # (deliberately "vendor sloppy": real packages ship approximations).
+    write_binary_stl(mesh_dir / "ee_bracket.stl", l_bracket_mesh_mm())
+    link_xml.append(
+        """
+  <link name="ee_bracket">
+    <inertial>
+      <origin xyz="0.04 0.02 0.008" rpy="0 0 0"/>
+      <mass value="0.35"/>
+      <inertia ixx="6.2e-05" ixy="0" ixz="0"
+               iyy="0.0002" iyz="0" izz="0.00024"/>
+    </inertial>
+    <visual>
+      <origin xyz="0 0 0" rpy="0 0 0"/>
+      <geometry><mesh filename="package://vendor_arm/meshes/ee_bracket.stl" scale="0.001 0.001 0.001"/></geometry>
+    </visual>
+    <collision>
+      <origin xyz="0 0 0" rpy="0 0 0"/>
+      <geometry><mesh filename="package://vendor_arm/meshes/ee_bracket.stl" scale="0.001 0.001 0.001"/></geometry>
+    </collision>
+  </link>"""
+    )
+
+    # Deep fixed chain (3 fixed joints): wrist_3 -> ee_bracket (massive,
+    # must LUMP into wrist_3 on reduction) -> flange -> tool0 (massless
+    # vendor frames).
     joint_xml.append(
         """
-  <link name="flange"/>
-  <joint name="wrist_3__flange" type="fixed">
+  <joint name="wrist_3__ee_bracket" type="fixed">
     <origin xyz="0 0 0.0922" rpy="0 -1.570796325 0"/>
     <parent link="wrist_3_link"/>
+    <child link="ee_bracket"/>
+  </joint>
+  <link name="flange"/>
+  <joint name="ee_bracket__flange" type="fixed">
+    <origin xyz="0.08 0.02 0.008" rpy="0 0 0"/>
+    <parent link="ee_bracket"/>
     <child link="flange"/>
   </joint>
   <link name="tool0"/>

@@ -149,6 +149,17 @@ def test_disable_collision_points():
 
 # ----- vendored real-robot package (mesh pipeline end-to-end) -----
 
+# Masses of the generated links (tests/assets/generate_vendor_arm.py LINKS).
+_VENDOR_ARM_LINK_MASSES = [
+    ("base_link", "cyl", (0.090, 0.12), 8.0),
+    ("shoulder_link", "cyl", (0.080, 0.18), 7.8),
+    ("upper_arm_link", "cyl", (0.070, 0.61), 12.9),
+    ("forearm_link", "cyl", (0.055, 0.57), 3.9),
+    ("wrist_1_link", "cyl", (0.045, 0.12), 1.96),
+    ("wrist_2_link", "cyl", (0.045, 0.12), 1.96),
+    ("wrist_3_link", "box", (0.060, 0.09), 0.2),
+]
+
 
 def test_vendor_arm_end_to_end(monkeypatch):
     """Parse the vendored UR10-class arm package (URDF + binary STL meshes
@@ -174,14 +185,44 @@ def test_vendor_arm_end_to_end(monkeypatch):
 
     assert model.fixed_base()
     assert model.number_of_joints() == 6
-    # Deep fixed chain preserved as frames.
+    # 3-deep fixed chain wrist_3 -> ee_bracket -> flange -> tool0: the
+    # massive bracket LUMPS into wrist_3 and all three become frames.
+    assert "ee_bracket" in model.frame_names()
     assert "flange" in model.frame_names()
     assert "tool0" in model.frame_names()
+    assert "ee_bracket" not in model.link_names()
+    # Total mass includes the lumped 0.35 kg bracket.
+    total = sum(m for _, _, _, m in _VENDOR_ARM_LINK_MASSES) + 0.35
+    assert float(js.model.total_mass(model)) == pytest.approx(total, rel=1e-6)
     # Mesh collision points extracted from the STL vertices.
     n_points = len(
         model.kin_dyn_parameters.contact_parameters.indices_of_enabled_collidable_points
     )
     assert n_points > 100  # 6 cylinders × 48 rim vertices + box corners
+    # Mesh `scale` attribute: the bracket STL is authored in MILLIMETERS
+    # with scale="0.001 ...": all collision points must be meter-scale
+    # (ignoring the scale would put bracket points ~80 "meters" out).
+    pts = np.asarray(model.kin_dyn_parameters.contact_parameters.point)
+    assert np.all(np.isfinite(pts)) and float(np.abs(pts).max()) < 1.0
+
+    # Non-convex mesh: the L-bracket's inner-corner vertices lie strictly
+    # INSIDE their convex hull, so vertex extraction preserves geometry a
+    # hull-based strategy would erase.
+    from scipy.spatial import ConvexHull
+
+    from jaxsim_tpu.parsers import mesh_io, meshes
+
+    verts = np.unique(
+        mesh_io.load_mesh_vertices(
+            urdf.parent.parent / "meshes" / "ee_bracket.stl"
+        ),
+        axis=0,
+    )
+    extracted = meshes.VertexExtraction()(verts)
+    hull_idx = set(ConvexHull(verts).vertices.tolist())
+    interior = [i for i in range(len(verts)) if i not in hull_idx]
+    assert len(interior) > 0, "bracket unexpectedly convex"
+    assert len(extracted) == len(verts) > len(hull_idx)
 
     # tool0 pose at zero configuration is finite and below the full reach.
     data = js.JaxSimModelData.build(model)

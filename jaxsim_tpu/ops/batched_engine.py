@@ -403,9 +403,11 @@ class BatchedEngine:
     rigid_reg: float = 1e-6
     rigid_iterations: int = 0
     # Power-iteration count for the APGD Lipschitz estimate (the safety
-    # factor below covers the from-below convergence of a short run).
-    rigid_power_iterations: int = 4
-    rigid_power_safety: float = 1.6
+    # factor below covers the from-below convergence of a short run —
+    # 3 iterations at 1.8x matches the 8-at-1.25x trajectories to ~4e-5 m
+    # on the humanoid study, docs/ops.md).
+    rigid_power_iterations: int = 3
+    rigid_power_safety: float = 1.8
     # CG iteration count for the post-step inelastic impact projection
     # (0 = auto: min(nC//4 + 6, 12); no warm start exists for impulses).
     rigid_impact_iterations: int = 0
@@ -1035,8 +1037,10 @@ class BatchedEngine:
             return int(self.rr_iterations)
         # Warm-started budget: the previous step's solution is one O(dt)
         # geometry move away, so a handful of PCG iterations re-converges
-        # it (plus the one A-apply the warm-start residual costs).
-        return min(self.n_points // 4 + 6, 10) if self.n_points else 0
+        # it (plus the one A-apply the warm-start residual costs). The
+        # humanoid study (docs/ops.md) shows warm-started 8 iterations
+        # match the 148-iteration exact solve to ~1e-7 m.
+        return min(self.n_points // 4 + 6, 8) if self.n_points else 0
 
     def _minv_apply(self, fact, f_loc, bshape, pr):
         """Zero-velocity articulated substitution passes: link-frame spatial
@@ -1524,14 +1528,18 @@ class BatchedEngine:
         if self.rigid_iterations:
             return int(self.rigid_iterations)
         # Warm-started budget (previous step's cone-projected forces are
-        # the initial iterate): half the cold-start count suffices.
-        return min(self.n_points // 2 + 10, 24) if self.n_points else 0
+        # the initial iterate): a third of the cold-start count tracks the
+        # 96-iteration reference to ~4e-5 m over 500-step humanoid
+        # rollouts (docs/ops.md accuracy table).
+        return min(self.n_points // 3 + 6, 16) if self.n_points else 0
 
     @property
     def _rigid_impact_n_iter(self) -> int:
         if self.rigid_impact_iterations:
             return int(self.rigid_impact_iterations)
-        return min(self.n_points // 4 + 6, 12) if self.n_points else 0
+        # 8 is bit-identical to 12 on the humanoid study — the active-set
+        # impulse system is far better conditioned than the force QP.
+        return min(self.n_points // 4 + 4, 8) if self.n_points else 0
 
     @property
     def _rigid_bwd_n_iter(self) -> int:

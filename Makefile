@@ -13,11 +13,14 @@ test-fast:
 # bigger horizons / humanoid-scale interpret runs. Both run with FULL XLA
 # optimization (unlike the compile-bound fast tier) so the CPU numerics
 # production users get are exercised somewhere.
+# Both tiers run chunked (one pytest process per test file): long single-
+# process full-opt compile sequences can crash XLA:CPU's LLVM pipeline
+# (see scripts/run_tier_chunked.py).
 test-slow:
-	JAXSIM_TEST_FAST_COMPILE=0 python -m pytest tests -q -m slow
+	JAXSIM_TEST_FAST_COMPILE=0 python scripts/run_tier_chunked.py slow
 
 test-stress:
-	JAXSIM_TEST_FAST_COMPILE=0 python -m pytest tests -q -m stress
+	JAXSIM_TEST_FAST_COMPILE=0 python scripts/run_tier_chunked.py stress
 
 test-tpu:
 	JAXSIM_TEST_TPU=1 python -m pytest tests -q -m tpu

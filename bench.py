@@ -562,6 +562,12 @@ def main() -> None:
             1024 * 100 / sorted(ts)[2], 1
         )
 
+    flagship_finite = bool(jnp.all(jnp.isfinite(out_leaf(out))).item())
+    # A path that runs but produces NaNs is as much a regression as one
+    # that stops compiling: fold every *_finite flag into ok/exit status.
+    for key, val in [("finite", flagship_finite), *extra_latency.items()]:
+        if key.endswith("finite") and val is False:
+            bench_failures.append(f"{key}: non-finite state after rollout")
     result = {
         "metric": "env_steps_per_sec_humanoid23_softcontacts_B%d" % batch_size,
         "value": round(env_steps_per_s, 1),
@@ -574,7 +580,7 @@ def main() -> None:
             "devices": n_dev,
             "path": bench_path if not use_vmap_path else "vmap",
             "integrator": integrator_name,
-            "finite": bool(jnp.all(jnp.isfinite(out_leaf(out))).item()),
+            "finite": flagship_finite,
             "ok": not bench_failures,
             **extra_latency,
         },

@@ -1035,12 +1035,21 @@ class BatchedEngine:
     def _rr_n_iter(self) -> int:
         if self.rr_iterations:
             return int(self.rr_iterations)
-        # Warm-started budget: the previous step's solution is one O(dt)
-        # geometry move away, so a handful of PCG iterations re-converges
-        # it (plus the one A-apply the warm-start residual costs). The
-        # humanoid study (docs/ops.md) shows warm-started 8 iterations
-        # match the 148-iteration exact solve to ~1e-7 m.
-        return min(self.n_points // 4 + 6, 8) if self.n_points else 0
+        if not self.n_points:
+            return 0
+        if self.terrain_kind != "plane":
+            # Rough terrain mixes per-point contact normals, widening the
+            # Delassus spectrum: warm-started 8–16 iterations blow up
+            # within ~20 steps of humanoid touchdown (B=8192 Fourier
+            # probe, docs/ops.md); 24 is the measured stability floor and
+            # 32 (the round-3 cap, proven at scale) ships for margin.
+            return min(3 * self.n_points, 32)
+        # Plane terrain, warm-started budget: the previous step's solution
+        # is one O(dt) geometry move away, so a handful of PCG iterations
+        # re-converges it (plus the one A-apply the warm-start residual
+        # costs). The humanoid study (docs/ops.md) shows warm-started 8
+        # iterations match the 148-iteration exact solve to ~1e-7 m.
+        return min(self.n_points // 4 + 6, 8)
 
     def _minv_apply(self, fact, f_loc, bshape, pr):
         """Zero-velocity articulated substitution passes: link-frame spatial
@@ -1483,14 +1492,24 @@ class BatchedEngine:
 
         # Warm start from the previous step's forces (threaded through the
         # otherwise-unused ``m`` state slot, same as the rigid APGD), masked
-        # to the currently active points.
-        x0 = jnp.stack(
+        # to the currently active points. A FRESH contact has no carried
+        # force (m = 0): seed it with the Jacobi estimate x ≈ −b / diag(A)
+        # instead — the decoupled per-point solution, the same idea as the
+        # reference's Hunt/Crossley warm start (``relaxed_rigid.py:467-481``).
+        # Touchdown transients are exactly where the tight warm-started
+        # iteration budget otherwise under-converges (observed as a full
+        # batch NaN blowup on rough terrain within ~20 steps of first
+        # contact, docs/ops.md).
+        prec_arr = stack_cj(prec_l)
+        m_carried = jnp.stack(
             [
                 jnp.stack([act_l[c] * state.m[c, j] for j in range(3)])
                 for c in range(nC)
             ]
         )
-        xs = pcg_implicit(neg_b, ops, stack_cj(prec_l), x0)
+        has_warm = jnp.sum(m_carried * m_carried, axis=1, keepdims=True) > 0.0
+        x0 = jnp.where(has_warm, m_carried, neg_b / prec_arr)
+        xs = pcg_implicit(neg_b, ops, prec_arr, x0)
         x = unstack_cj(xs)
 
         # World contact wrenches per link.

@@ -1960,6 +1960,39 @@ def test_engine_fourier_terrain_hard_contacts_equivalence(contact, prng_key):
     )
 
 
+@pytest.mark.tpu
+def test_fused_rough_relaxed_rigid_touchdown_stable():
+    """Regression (round 4): the humanoid dropped onto Fourier terrain with
+    relaxed-rigid contacts must stay finite through the touchdown transient
+    at scale. Warm-started PCG budgets tuned on plane terrain (8–16
+    iterations) blow the whole batch up to NaN within ~20 steps of first
+    contact — rough terrain keeps the ``min(3·nC, 32)`` budget
+    (docs/ops.md). TPU-only: the fused kernel at B=1024 × 150 steps is the
+    reproduction scale; small-scale CPU equivalence lives in
+    ``test_engine_fourier_terrain_hard_contacts_equivalence``."""
+    from jaxsim_tpu.ops import pallas_step as ps
+    from jaxsim_tpu.ops.contacts.relaxed_rigid import RelaxedRigidContacts
+    from jaxsim_tpu.terrain import FourierTerrain
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("requires TPU (fused kernel at B=1024)")
+
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_humanoid_urdf(),
+        terrain=FourierTerrain.build(
+            seed=0, num_components=8, amplitude=0.04, wavelength=0.7
+        ),
+        contact_model=RelaxedRigidContacts(),
+    )
+    eng = BatchedEngine.build(model)
+    assert eng._rr_n_iter >= 24  # the measured B=8192 stability floor
+    st = ps.tile_state(eng.init_state(1024, key=jax.random.PRNGKey(9)))
+    run = jax.jit(ps.build_pallas_rollout(eng, 150, terr_off=False, tile_sub=8))
+    o = run(st)
+    assert bool(jnp.all(jnp.isfinite(o.p)).item())
+    assert bool(jnp.all(jnp.isfinite(o.v)).item())
+
+
 @pytest.mark.parametrize("contact", ["rigid", "relaxed_rigid"])
 def test_engine_heightmap_hard_contacts_equivalence(contact, prng_key):
     """Heightmap terrain with rigid / relaxed-rigid contacts on the engine

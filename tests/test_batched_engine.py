@@ -379,7 +379,7 @@ def test_pallas_interpret_small_model():
         )
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_pallas_rollout_kernel_interpret_small_model():
     """The in-kernel fori_loop rollout (one launch per horizon — the default
     bench path) matches the per-step engine rollout in interpreter mode.
@@ -437,7 +437,7 @@ def test_domain_randomization_engine():
     assert not np.allclose(np.asarray(out.p[2, 0]), np.asarray(out.p[2, 1]))
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_domain_randomization_pallas_interpret():
     """The fused rollout with per-env multiplier tiles matches the engine."""
     from jax.experimental.pallas import tpu as pltpu
@@ -466,7 +466,7 @@ def test_domain_randomization_pallas_interpret():
         run(ps.tile_state(st), Kmul=Kmul)  # untiled (B,) shape rejected
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_diff_pallas_step_gradients_match_engine():
     """build_diff_pallas_step: forward (interpret-mode Pallas) matches the
     engine step, and jax.grad through it w.r.t. state and torques matches
@@ -509,7 +509,7 @@ def test_diff_pallas_step_gradients_match_engine():
     assert float(jnp.abs(g_tau).max()) > 0.0
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 @pytest.mark.parametrize("contact", ["relaxed_rigid", "rigid"])
 def test_diff_pallas_step_contact_rich_gradients(contact, prng_key):
     """Contact-rich tier-2 differentiability: build_diff_pallas_step with
@@ -783,7 +783,7 @@ def test_fused_diff_pallas_step_params_grad_tpu():
     assert nonzero >= 3  # inertias, contact points, joint placements all live
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_diff_pallas_rollout_policy_gradient():
     """build_diff_pallas_rollout: gradients flow to XLA-side policy
     parameters through the fused Pallas steps (with and without
@@ -857,7 +857,7 @@ def test_rotated_base_quaternion_equivalence():
     assert_allclose(st.p[:, 0], data.base_position, atol=1e-5)
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 @pytest.mark.parametrize("integrator_name", ["rk4", "rk4fast"])
 def test_engine_rk4_equivalence(integrator_name):
     """Engine RK4 / RK4-fast trajectories match the generic js.model.step
@@ -969,7 +969,7 @@ def test_engine_relaxed_rigid_box_equivalence(prng_key):
     )
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 @pytest.mark.parametrize("integrator_name", ["sie", "rk4"])
 def test_engine_relaxed_rigid_garpez_equivalence(integrator_name, prng_key):
     """Articulated floating-base model on relaxed-rigid contacts (SIE and
@@ -1033,7 +1033,7 @@ def test_engine_relaxed_rigid_settles():
     assert np.all(np.abs(np.asarray(out.v)) < 0.05)
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_pallas_relaxed_rigid_interpret():
     """The fused Pallas step kernel runs the relaxed-rigid PCG solve
     in-kernel (interpret mode) and matches the XLA engine step. (garpez —
@@ -1058,7 +1058,7 @@ def test_pallas_relaxed_rigid_interpret():
         )
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_pallas_step_rk4_interpret():
     """The fused Pallas step kernel dispatches to the engine's RK4 path
     in-kernel (interpret mode) and matches the XLA engine step."""
@@ -1122,7 +1122,7 @@ def test_dynamics_domain_randomization():
     assert float(jnp.abs(out_mul.sd - out_base.sd).max()) > 1e-6
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_dynamics_domain_randomization_pallas_interpret():
     """gmul/Mmul thread through the fused rollout kernel (interpret mode)
     and match the XLA engine with the same multipliers."""
@@ -1158,7 +1158,7 @@ def test_dynamics_domain_randomization_pallas_interpret():
     assert float(jnp.abs(ref.sd - base.sd).max()) > 1e-6
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_mlp_policy_env_rollout_interpret():
     """build_pallas_env_rollout(mlp_policy=H): in-kernel tanh-MLP torques
     match an XLA reference rollout with the same weights (interpret mode),
@@ -1234,7 +1234,7 @@ def test_mlp_policy_env_rollout_interpret():
     )
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_diff_pallas_rollout_hw_param_gradient():
     """Gradients w.r.t. the model parameters (link spatial inertias,
     contact points) flow through the differentiable Pallas rollout and
@@ -1375,7 +1375,7 @@ def test_engine_rigid_box_equivalence(prng_key):
     )
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 @pytest.mark.parametrize("integrator_name", ["sie", "rk4"])
 def test_engine_rigid_garpez_equivalence(integrator_name, prng_key):
     """Articulated floating-base model on rigid contacts (SIE and RK4):
@@ -1489,7 +1489,7 @@ def test_engine_rigid_step_gradient(prng_key):
     assert_allclose(g, fd, rtol=0.15, atol=1e-8)
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_pallas_rigid_interpret():
     """The fused Pallas step kernel runs the rigid APGD solve + impact
     projection in-kernel (interpret mode) and matches the XLA engine
@@ -1609,7 +1609,7 @@ def test_engine_weld_step_gradient():
     assert_allclose(g, fd, rtol=0.15, atol=1e-8)
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_pallas_step_weld_interpret():
     """The fused Pallas step runs the weld-constraint Delassus assembly +
     Cholesky solve in-kernel (interpret mode) and matches the XLA engine
@@ -1720,7 +1720,7 @@ def test_engine_fourier_terrain_per_env_offset():
     assert np.std(z) > 1e-4
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_pallas_step_fourier_interpret():
     """The fused Pallas step evaluates the terrain spectrum in-kernel
     (interpret mode) and matches the XLA engine step."""
@@ -2143,7 +2143,7 @@ def _tiny_floating_model(**kwargs):
             os.environ["JAXSIM_COLLISION_SPHERE_POINTS"] = old
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_fused_diff_pallas_step_params_grad_interpret():
     """params_grad=True model cotangents (link inertias, contact points,
     joint placements) from the fused backward kernel match jax.grad of the
@@ -2304,7 +2304,7 @@ def test_per_env_morphology_matches_separate_engines():
     assert float(jnp.std(st.s, axis=-1).max()) > 1e-3
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_pallas_rollout_morph_interpret():
     """Per-env morphology tiles thread through the fused rollout kernel
     (interpret mode) and match the XLA engine with the same overrides.

@@ -158,7 +158,7 @@ def test_pallas_env_rollout_interpret_matches_reference(tiny_engine):
         )
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_pallas_env_rollout_linear_policy():
     """tau = W@obs + b with call-time weights matches the closure policy,
     and swapping weights does NOT retrace the kernel."""
@@ -222,7 +222,7 @@ def test_pallas_env_rollout_linear_policy():
         run_linear(st, jnp.zeros((n, d + 1)), b)
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_in_kernel_stochastic_resets():
     """reset_noise > 0 builds/runs and perturbs respawns; reset_noise = 0
     keeps respawns exact. NOTE: interpret-mode prng_random_bits returns
@@ -274,7 +274,7 @@ def test_in_kernel_stochastic_resets_tpu():
     assert not np.allclose(np.asarray(out.p[0]), np.asarray(out2.p[0]))
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_per_tile_population_weights():
     """One launch with per-tile W evaluates each policy candidate on its own
     1024-env tile, matching separate single-policy launches."""
@@ -319,7 +319,7 @@ def test_per_tile_population_weights():
         ps.build_pallas_env_rollout(eng, 5, per_tile_weights=True, **kw)
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_fused_eval_rollout_wrapper():
     from jax.experimental.pallas import tpu as pltpu
 
@@ -395,7 +395,7 @@ def test_scan_rollout_with_policy():
     assert np.asarray(done_traj).sum(axis=0).min() == 2
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_fused_eval_rollout_mlp_weights():
     """BatchedEnv.fused_eval_rollout(mlp_weights=...) runs the in-kernel
     tanh-MLP policy (interpret mode) and produces finite rewards that
@@ -428,7 +428,7 @@ def test_fused_eval_rollout_mlp_weights():
         )
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_fused_eval_rollout_rough_terrain_offsets(garpez_fourier):
     """domain={"terrOff": (2, B)} gives every env its own FourierTerrain
     patch inside the fused eval kernel: zero offsets match the
@@ -492,7 +492,7 @@ def test_terrain_relative_obs_and_termination(garpez_fourier):
     )
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_terrain_relative_fused_matches_xla(garpez_fourier):
     """The fused kernel's terrain-relative observation/termination matches
     the XLA env path step for step (interpret mode)."""

@@ -28,6 +28,15 @@ PALLAS_EXAMPLES = {
 }
 XLA_EXAMPLES = [n for n in ALL_EXAMPLES if n not in PALLAS_EXAMPLES]
 
+# Humanoid-scale XLA examples compile multi-minute full-opt graphs on the
+# 1-core CI box — stress tier. Small-model examples stay in slow.
+HEAVY_XLA_EXAMPLES = {
+    "batched_rollouts.py",
+    "codesign_link_lengths.py",
+    "rl_environment.py",
+    "simulate_humanoid.py",
+}
+
 
 def test_example_inventory():
     """Every example is classified (a new example must join a tier)."""
@@ -47,8 +56,20 @@ def _run_smoke(name, monkeypatch, tmp_path):
     runpy.run_path(str(EXAMPLES_DIR / name), run_name="__main__")
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("name", XLA_EXAMPLES)
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(
+            n,
+            marks=(
+                pytest.mark.stress
+                if n in HEAVY_XLA_EXAMPLES
+                else pytest.mark.slow
+            ),
+        )
+        for n in XLA_EXAMPLES
+    ],
+)
 def test_example_smoke(name, monkeypatch, tmp_path):
     """XLA-path examples run end-to-end at smoke scale."""
     _run_smoke(name, monkeypatch, tmp_path)

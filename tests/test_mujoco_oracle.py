@@ -166,7 +166,10 @@ def _skew_np(a):
         # ~10 x 13s of cold XLA compiles on a single-core box, and the
         # same comparisons run on box/garpez in the default tier.
         pytest.param("humanoid", marks=pytest.mark.slow),
-        pytest.param("ergocub", marks=pytest.mark.slow),
+        # ergocub-scale single-eval jits are each ~1 min full-opt on the
+        # 1-core box; the humanoid rows keep the floating-base oracle in
+        # the slow tier, ergocub depth goes to stress.
+        pytest.param("ergocub", marks=pytest.mark.stress),
     ],
 )
 def floating_pair(request):

@@ -167,7 +167,7 @@ def test_sharded_fused_rollout_engine_backend():
         sharded_fused_rollout(eng, ps.tile_state(eng.init_state(1024)), n_steps=2)
 
 
-@pytest.mark.slow
+@pytest.mark.stress
 def test_sharded_fused_rollout_real_kernel_interpret_2dev():
     """The REAL Pallas kernel under shard_map (interpret mode, 2-device
     submesh, 1-step horizon): the deployment composition that runs on a

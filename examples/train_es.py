@@ -51,6 +51,9 @@ def main():
             STEPS,
             linear_policy=True,
             per_tile_weights=True,
+            # Per-tile populations: one candidate per env tile, so the
+            # tile height must be each candidate's share of batch rows.
+            tile_sub=ENVS_PER // ps.TILE_LANE,
             episode_length=5 if smoke else 500,
             healthy_z_range=(0.6, 1.2),
             tau_limit=100.0,  # actuator saturation keeps rogue candidates finite

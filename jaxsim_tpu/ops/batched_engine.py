@@ -435,6 +435,7 @@ class BatchedEngine:
     _suc_H_i: tuple = dataclasses.field(repr=False, default=())
     _contact_point: tuple = dataclasses.field(repr=False, default=())
     _rr_Minv: tuple = dataclasses.field(repr=False, default=())
+    _rr_Kc: tuple = dataclasses.field(repr=False, default=())
     _constraint_H1: tuple = dataclasses.field(repr=False, default=())
     _constraint_H2: tuple = dataclasses.field(repr=False, default=())
     _terrain_spec: tuple = dataclasses.field(repr=False, default=())
@@ -573,7 +574,7 @@ class BatchedEngine:
                 if len(idx)
                 else np.zeros((0, 3, 3))
             )
-        return BatchedEngine(
+        eng = BatchedEngine(
             **rr,
             **con,
             **terr,
@@ -609,6 +610,20 @@ class BatchedEngine:
             if len(idx)
             else (),
         )
+        if (
+            eng.contact_model == "relaxed_rigid"
+            and eng.n_points
+            and eng.terrain_kind != "plane"
+        ):
+            # Rough terrain mixes per-point contact normals, widening the
+            # Delassus spectrum; the scalar (1/m) Jacobi preconditioner
+            # then needs 24+ PCG iterations to stay stable at touchdown.
+            # A block-Jacobi preconditioner built from the true nominal
+            # per-point Delassus blocks halves that budget (docs/ops.md).
+            eng = dataclasses.replace(
+                eng, _rr_Kc=_freeze(eng._nominal_delassus_blocks())
+            )
+        return eng
 
     def params(self) -> dict[str, jtp.Array]:
         """Numeric model arrays as a pytree: embedded constants under XLA,
@@ -628,6 +643,11 @@ class BatchedEngine:
             **(
                 dict(rrMinv=jnp.asarray(np.asarray(self._rr_Minv), dtype=float))
                 if self.contact_model == "relaxed_rigid"
+                else {}
+            ),
+            **(
+                dict(rrKc=jnp.asarray(np.asarray(self._rr_Kc), dtype=float))
+                if self._rr_Kc
                 else {}
             ),
             **(
@@ -1051,6 +1071,54 @@ class BatchedEngine:
         # iterations match the 148-iteration exact solve to ~1e-7 m.
         return min(self.n_points // 4 + 6, 8)
 
+    def _nominal_delassus_blocks(self):
+        """(nC, 3, 3) world-frame per-point Delassus blocks
+        ``G_cc = (J M⁻¹ Jᵀ)_cc`` at the nominal configuration (zero joint
+        angles, identity base orientation), computed with the engine's own
+        matrix-free operator: one articulated factorization
+        (:meth:`aba` ``return_aux``) plus three :meth:`_minv_apply` probes
+        per point along the world axes. Static build-time payload of the
+        block-Jacobi PCG preconditioner for rough-terrain relaxed-rigid
+        contacts — the true articulated compliance at each point, unlike
+        the scalar ``1/m`` of ``rrMinv`` (reference impedance regularizer
+        design ``rbda/contacts/relaxed_rigid.py:525-653``)."""
+        nL, nC = self.n_links, self.n_points
+
+        @jax.jit
+        def probe():
+            st = self.init_state(1)
+            pr = self.params()
+            W_R, W_p, W_v = self.fk(st, pr)
+            bshape = st.p.shape[1:]
+            tau = jnp.zeros((self.n_joints,) + bshape)
+            _, _, fact = self.aba(
+                st, W_R, W_p, W_v, [None] * nL, tau, pr, return_aux=True
+            )
+            blocks = []
+            for c in range(nC):
+                parent = self.contact_parent[c]
+                Lpb = _bvec(pr["cpoint"][c], 3, bshape)
+                Rp = W_R[parent]
+                cols = []
+                for j in range(3):
+                    e = jnp.zeros((3,) + bshape).at[j].set(1.0)
+                    Rte = _rtv(Rp, e)
+                    f_loc = [None] * nL
+                    f_loc[parent] = jnp.concatenate([Rte, _cross(Lpb, Rte)])
+                    a_c, _ = self._minv_apply(fact, f_loc, bshape, pr)
+                    ac = a_c[parent]
+                    cols.append(_rv(Rp, ac[0:3] + _cross(ac[3:6], Lpb)))
+                K = jnp.stack(
+                    [
+                        jnp.stack([cols[j][i] for j in range(3)])
+                        for i in range(3)
+                    ]
+                )
+                blocks.append(0.5 * (K + jnp.swapaxes(K, 0, 1)))
+            return jnp.stack(blocks)[..., 0]
+
+        return np.asarray(jax.device_get(probe()))
+
     def _minv_apply(self, fact, f_loc, bshape, pr):
         """Zero-velocity articulated substitution passes: link-frame spatial
         forces ``f_loc`` (list, None allowed) → link-frame accelerations +
@@ -1351,7 +1419,18 @@ class BatchedEngine:
             Minv = pr["rrMinv"][c]
             b_c, prec_c, r_c = [], [], []
             for j in range(3):
-                r_j = active * sum(coeff[i] * Minv[i, j] for i in range(3))
+                # Reference μ²-scaled regularizer PLUS the MuJoCo-style
+                # impedance floor (1−ξ)/ξ · M⁻¹_jj — identical to the
+                # generic path (``ops/contacts/relaxed_rigid.py``
+                # _regularizers): without the floor, near-null Delassus
+                # directions (co-planar points on one link) are
+                # regularized only by ``reg`` and the solve trades huge
+                # equal-and-opposite forces that destabilize deep
+                # touchdowns.
+                r_j = active * (
+                    sum(coeff[i] * Minv[i, j] for i in range(3))
+                    + ((1.0 - xi[j]) / (xi[j] + 1e-12)) * Minv[j, j]
+                )
                 r_c.append(r_j)
                 b_c.append(active * (pdd[j] - aref[j]))
                 prec_c.append(active * Minv[j, j] + r_j + reg)
@@ -1409,14 +1488,46 @@ class BatchedEngine:
                 )
             return out
 
-        # Jacobi-preconditioned CG on A x = −b, fixed iteration count. The
-        # loop body runs under fori_loop/scan so the (large) G-apply graph
-        # is traced ONCE — unrolling it made XLA/Mosaic compiles
-        # intractable for many-point models.
+        # Preconditioned CG on A x = −b, fixed iteration count. The loop
+        # body runs under fori_loop/scan so the (large) G-apply graph is
+        # traced ONCE — unrolling it made XLA/Mosaic compiles intractable
+        # for many-point models.
+        #
+        # Preconditioner: scalar Jacobi (1/m diagonal) on plane terrain;
+        # BLOCK-Jacobi on rough terrain, where mixed per-point normals
+        # widen the Delassus spectrum — the 3×3 blocks are the true
+        # nominal articulated compliances (``rrKc``, see
+        # :meth:`_nominal_delassus_blocks`) plus the impedance diagonal,
+        # inverted in closed form per point. Halves the stable iteration
+        # budget at touchdown (docs/ops.md rough-terrain study).
         neg_b = stack_cj(
             [[-b_l[c][j] for j in range(3)] for c in range(nC)]
         )
         n_iter = self._rr_n_iter
+        use_block = "rrKc" in pr
+
+        if use_block:
+
+            def prec_apply(P, r_arr):
+                return jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                sum(
+                                    P[c, i, j] * r_arr[c, j]
+                                    for j in range(3)
+                                )
+                                for i in range(3)
+                            ]
+                        )
+                        for c in range(nC)
+                    ]
+                )
+
+        else:
+
+            def prec_apply(P, r_arr):
+                return r_arr / P
 
         def pcg_run(b_arr, o, prec, x0=None):
             if x0 is None:
@@ -1427,7 +1538,7 @@ class BatchedEngine:
                 # initial residual on rollouts (geometry moves O(dt)/step).
                 x_init = x0
                 r0 = b_arr - stack_cj(A_apply_ops(o, unstack_cj(x0)))
-            z0 = r0 / prec
+            z0 = prec_apply(prec, r0)
             carry0 = (
                 x_init,
                 r0,
@@ -1441,7 +1552,7 @@ class BatchedEngine:
                 alpha = rz / (jnp.sum(ps * Ap, axis=(0, 1)) + 1e-20)
                 xs = xs + alpha * ps
                 rs = rs - alpha * Ap
-                zs = rs / prec
+                zs = prec_apply(prec, rs)
                 rz_n = jnp.sum(rs * zs, axis=(0, 1))
                 beta = rz_n / (rz + 1e-20)
                 return (xs, rs, zs + beta * ps, rz_n), None
@@ -1500,7 +1611,41 @@ class BatchedEngine:
         # iteration budget otherwise under-converges (observed as a full
         # batch NaN blowup on rough terrain within ~20 steps of first
         # contact, docs/ops.md).
-        prec_arr = stack_cj(prec_l)
+        if use_block:
+            # P_c = act·K_c + diag(r_c) + reg·I, inverted in closed form
+            # (symmetric 3×3 adjugate/determinant — elementwise over the
+            # batch, Mosaic-lowerable; SPD by construction so det > 0).
+            Pinv_rows = []
+            for c in range(nC):
+                Kc = pr["rrKc"][c]
+                act = act_l[c]
+                r_c = rdiag_l[c]
+                m00 = act * Kc[0, 0] + r_c[0] + reg
+                m11 = act * Kc[1, 1] + r_c[1] + reg
+                m22 = act * Kc[2, 2] + r_c[2] + reg
+                m01 = act * Kc[0, 1]
+                m02 = act * Kc[0, 2]
+                m12 = act * Kc[1, 2]
+                c00 = m11 * m22 - m12 * m12
+                c01 = m02 * m12 - m01 * m22
+                c02 = m01 * m12 - m02 * m11
+                c11 = m00 * m22 - m02 * m02
+                c12 = m01 * m02 - m00 * m12
+                c22 = m00 * m11 - m01 * m01
+                inv_det = 1.0 / (m00 * c00 + m01 * c01 + m02 * c02)
+                Pinv_rows.append(
+                    jnp.stack(
+                        [
+                            jnp.stack([c00, c01, c02]),
+                            jnp.stack([c01, c11, c12]),
+                            jnp.stack([c02, c12, c22]),
+                        ]
+                    )
+                    * inv_det
+                )
+            prec_arr = jnp.stack(Pinv_rows)
+        else:
+            prec_arr = stack_cj(prec_l)
         m_carried = jnp.stack(
             [
                 jnp.stack([act_l[c] * state.m[c, j] for j in range(3)])
@@ -1508,7 +1653,7 @@ class BatchedEngine:
             ]
         )
         has_warm = jnp.sum(m_carried * m_carried, axis=1, keepdims=True) > 0.0
-        x0 = jnp.where(has_warm, m_carried, neg_b / prec_arr)
+        x0 = jnp.where(has_warm, m_carried, prec_apply(prec_arr, neg_b))
         xs = pcg_implicit(neg_b, ops, prec_arr, x0)
         x = unstack_cj(xs)
 
@@ -1779,17 +1924,26 @@ class BatchedEngine:
         # Lipschitz bound: power iteration on (G + reg I). Start from the
         # (deterministic) all-ones direction; the safety factor covers the
         # from-below convergence of a short run (an overestimate only slows
-        # APGD slightly; an underestimate diverges). stop_gradient: the
-        # exact fixed point is step-size independent (x = Π(x − γ∇) has the
-        # same solutions for every γ > 0), so L carries no implicit
-        # cotangent — and pruning it keeps the reversed power loop out of
-        # Mosaic.
+        # APGD slightly; an underestimate diverges). Gradients are stopped
+        # on BOTH sides of this loop: the exact fixed point is step-size
+        # independent (x = Π(x − γ∇) has the same solutions for every
+        # γ > 0), so L carries no implicit cotangent — and input-side
+        # stop_gradient keeps jax.vjp of the step from LINEARIZING the
+        # loop at all. Output-only stop_gradient is not enough: the
+        # linearized scan stacks every body intermediate as a residual
+        # output (768 outvars for garpez), which Mosaic's scan rule cannot
+        # lower — the round-5 on-chip run of the fused rigid BACKWARD
+        # kernel failed exactly there ("foreach() argument 2 is shorter").
+        ops_sg = jax.tree.map(
+            lambda a: jax.lax.stop_gradient(a) if a is not None else None,
+            ops,
+        )
         v0 = jnp.ones((nC, 3) + bshape)
         v0 = v0 / jnp.sqrt(jnp.asarray(3.0 * nC))
 
         def power_step(carry, _):
             v, lam = carry
-            Av = stack_cj(A_ops(ops, unstack_cj(v)))
+            Av = stack_cj(A_ops(ops_sg, unstack_cj(v)))
             lam = jnp.sqrt(
                 jnp.maximum(jnp.sum(Av * Av, axis=(0, 1)), 1e-12)
             )

@@ -7,10 +7,22 @@ R from μ and link inertia, then an unconstrained least-squares
 
 TPU-first deviation: the reference minimizes with L-BFGS inside a
 ``lax.while_loop`` wrapped in ``custom_linear_solve``
-(``relaxed_rigid.py:399-506``) — batch-hostile on TPU. Since A is symmetric
-positive definite (Delassus + positive diagonal regularization), the exact
-minimizer is the linear solve x = −A⁻¹b, computed here with a Cholesky
-factorization whose AD is the implicit-function gradient for free.
+(``relaxed_rigid.py:399-506``) — batch-hostile on TPU. A is symmetric
+positive definite (Delassus + positive diagonal regularization), so the
+minimizer is the linear solve x = −A⁻¹b — but NOT via an exact dense
+factorization: with near-duplicate collision points (meshes put several
+points on one rigid face) the Delassus matrix has near-null directions
+whose regularization floor is only ``reg ≈ 1e-6`` (the μ²-scaled impedance
+term vanishes at the default μ), and inverting them exactly produces
+enormous equal-and-opposite point forces whose f32 cancellation error
+destabilizes touchdowns (observed: quadruped dropped on Fourier terrain,
+forces O(1e6), blowup in ~30 steps). A FIXED-ITERATION Jacobi-preconditioned
+CG — the same solver family as the reference's bounded L-BFGS and our
+batched engine's in-kernel PCG — leaves those directions at their
+warm-start value (implicit regularization) while converging the physical
+ones. Wrapped in ``lax.custom_linear_solve`` so reverse-mode AD gets the
+implicit-function gradient (one more bounded PCG on the same SPD operator),
+not differentiation through the iterations.
 """
 
 from __future__ import annotations
@@ -176,9 +188,38 @@ class RelaxedRigidContacts(common.ContactModel):
         A = G + jnp.diag(r) + self.regularization * jnp.eye(G.shape[0])
         b = CW_al_free - a_ref
 
-        # Exact minimizer of ‖Ax + b‖² for SPD A (see module docstring).
-        cho = jax.scipy.linalg.cho_factor(A, lower=True)
-        x = jax.scipy.linalg.cho_solve(cho, -b)
+        # Bounded Jacobi-PCG minimizer of ‖Ax + b‖² (see module docstring:
+        # the fixed iteration count is deliberate implicit regularization
+        # of near-null Delassus directions, matching the batched engine's
+        # in-kernel solver budget for rough terrain).
+        n_iter = min(3 * (A.shape[0] // 3), 32)
+        diag_A = jnp.diag(A)
+        prec = jnp.where(diag_A > 0.0, diag_A, 1.0)
+
+        def pcg(matvec, rhs):
+            x0 = rhs / prec
+            r0 = rhs - matvec(x0)
+            z0 = r0 / prec
+
+            def body(carry, _):
+                xk, rk, pk, rz = carry
+                Ap = matvec(pk)
+                alpha = rz / (pk @ Ap + 1e-20)
+                xk = xk + alpha * pk
+                rk = rk - alpha * Ap
+                zk = rk / prec
+                rz_n = rk @ zk
+                beta = rz_n / (rz + 1e-20)
+                return (xk, rk, zk + beta * pk, rz_n), None
+
+            (xk, _, _, _), _ = jax.lax.scan(
+                body, (x0, r0, z0, r0 @ z0), None, length=n_iter
+            )
+            return xk
+
+        x = jax.lax.custom_linear_solve(
+            lambda v: A @ v, -b, solve=pcg, symmetric=True
+        )
 
         CW_fl = x.reshape(-1, 3)
         W_f_C = jnp.concatenate([CW_fl, jnp.cross(position, CW_fl)], axis=-1)
@@ -222,10 +263,24 @@ def _regularizers(model, position_constraint, velocity_constraint, parameters):
 
     a_ref = -(D * vel + K * xi * pos)  # (nC, 3)
 
-    # Diagonal regularization from μ and the parent-link mass block.
+    # Diagonal regularization from μ and the parent-link mass block
+    # (reference formula), PLUS a MuJoCo-style impedance floor
+    # (1−ξ)/ξ · diag(M⁻¹): the reference's μ²-scaled term vanishes at the
+    # default μ = 0.005, leaving near-null Delassus directions (several
+    # collidable points on one rigid face) regularized only by the 1e-6
+    # Tikhonov — the solve then trades enormous equal-and-opposite point
+    # forces whose step-to-step fluctuation destabilizes deep-penetration
+    # touchdowns (measured: quadruped on Fourier terrain, |f| O(1e6),
+    # blowup in ~30 steps). MuJoCo itself floors R with (1−d)/d scaling,
+    # which is what makes its relaxed solve robust; ξ_max = 0.95 keeps the
+    # floor at ~5% compliance. Mirrored exactly in the batched engine
+    # (``ops/batched_engine.py`` relaxed_rigid_contact_forces) so the
+    # engine-vs-generic equivalence holds.
     Minv_blocks = jnp.linalg.inv(M_L[parents][:, 0:3, 0:3])  # (nC, 3, 3)
     coeff = (2 * mu**2 * (1 - xi) / (xi + 1e-12)) * (1 + mu**2)  # (nC, 3)
     r = jnp.einsum("ci,cij->cj", coeff, Minv_blocks)  # (nC, 3)
+    diag_Minv = jnp.diagonal(Minv_blocks, axis1=1, axis2=2)  # (nC, 3)
+    r = r + ((1 - xi) / (xi + 1e-12)) * diag_Minv
 
     # Zero out inactive points.
     is_active = (jnp.einsum("ci,ci->c", pos, pos) > 0).astype(float)[:, None]

@@ -38,6 +38,17 @@ TILE_ENVS = TILE_SUB * TILE_LANE
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+
+def _effective_tile(tile_sub: int, B1: int) -> int:
+    """Clamp the requested sublane tile height to the actual batch rows.
+
+    Small batches (example smoke runs, B=128..512 -> B1 < TILE_SUB) run as
+    one short tile instead of tripping the divisibility assert; full-scale
+    batches keep the caller's tile."""
+    ts = min(int(tile_sub), int(B1))
+    assert B1 % ts == 0, f"batch rows {B1} not a multiple of tile {ts}"
+    return ts
+
 def engine_param_order(engine: BatchedEngine) -> tuple[str, ...]:
     """Names of the engine's numeric model arrays, in kernel-input order
     (relaxed-rigid engines carry the extra per-point inverse-mass blocks)."""
@@ -50,6 +61,10 @@ def engine_param_order(engine: BatchedEngine) -> tuple[str, ...]:
     base = ("S", "M", "axis", "lamH", "sucH", "cpoint")
     if engine.contact_model == "relaxed_rigid":
         base = base + ("rrMinv",)
+    if engine._rr_Kc:
+        # Nominal per-point Delassus blocks: block-Jacobi PCG
+        # preconditioner payload (rough-terrain relaxed-rigid engines).
+        base = base + ("rrKc",)
     if engine.constraint_parents:
         base = base + ("cH1", "cH2")
     if engine.terrain_kind == "fourier":
@@ -99,13 +114,13 @@ def build_pallas_step(engine: BatchedEngine, policy=None, tile_sub: int | None =
 
     def step(state: BatchedState) -> BatchedState:
         B1 = state.p.shape[-2]
-        assert B1 % tile_sub == 0, f"batch rows {B1} not a multiple of {tile_sub}"
-        grid = (B1 // tile_sub,)
+        ts = _effective_tile(tile_sub, B1)
+        grid = (B1 // ts,)
 
         def spec(lead: tuple[int, ...]):
             nlead = len(lead)
             return pl.BlockSpec(
-                lead + (tile_sub, TILE_LANE),
+                lead + (ts, TILE_LANE),
                 (lambda i, _n=nlead: (0,) * _n + (i, 0)),
                 memory_space=pltpu.VMEM,
             )
@@ -188,13 +203,13 @@ def build_pallas_step_tau(engine: BatchedEngine, tile_sub: int | None = None):
 
     def step(state: BatchedState, tau, pr=None) -> BatchedState:
         B1 = state.p.shape[-2]
-        assert B1 % tile_sub == 0, f"batch rows {B1} not a multiple of {tile_sub}"
-        grid = (B1 // tile_sub,)
+        ts = _effective_tile(tile_sub, B1)
+        grid = (B1 // ts,)
 
         def spec(lead):
             nlead = len(lead)
             return pl.BlockSpec(
-                lead + (tile_sub, TILE_LANE),
+                lead + (ts, TILE_LANE),
                 (lambda i, _n=nlead: (0,) * _n + (i, 0)),
                 memory_space=pltpu.VMEM,
             )
@@ -304,13 +319,13 @@ def build_pallas_step_vjp(engine: BatchedEngine, tile_sub: int | None = None,
 
     def bwd(state: BatchedState, tau, ct_out: BatchedState, pr=None):
         B1 = state.p.shape[-2]
-        assert B1 % tile_sub == 0
-        grid = (B1 // tile_sub,)
+        ts = _effective_tile(tile_sub, B1)
+        grid = (B1 // ts,)
 
         def spec(lead):
             nlead = len(lead)
             return pl.BlockSpec(
-                lead + (tile_sub, TILE_LANE),
+                lead + (ts, TILE_LANE),
                 (lambda i, _n=nlead: (0,) * _n + (i, 0)),
                 memory_space=pltpu.VMEM,
             )
@@ -993,13 +1008,13 @@ def build_pallas_env_rollout(
                 Kmul=None, Dmul=None, mumul=None, gmul=None, Mmul=None,
                 terrOff=None, seed=0):
         B1 = state.p.shape[-2]
-        assert B1 % tile_sub == 0
-        grid = (B1 // tile_sub,)
+        ts = _effective_tile(tile_sub, B1)
+        grid = (B1 // ts,)
 
         def spec(lead):
             nlead = len(lead)
             return pl.BlockSpec(
-                lead + (tile_sub, TILE_LANE),
+                lead + (ts, TILE_LANE),
                 (lambda i, _n=nlead: (0,) * _n + (i, 0)),
                 memory_space=pltpu.VMEM,
             )
@@ -1053,7 +1068,7 @@ def build_pallas_env_rollout(
             # for unaligned minor dims).
             W = jnp.asarray(W, dtype=jnp.float32)
             if per_tile_weights:
-                n_tiles = B1 // tile_sub
+                n_tiles = B1 // ts
                 if W.shape != (n_tiles, n, obs_dim(n)):
                     raise ValueError(
                         f"per-tile W must have shape"
@@ -1089,7 +1104,7 @@ def build_pallas_env_rollout(
             W1 = jnp.asarray(W1, dtype=jnp.float32)
             W2 = jnp.asarray(W2, dtype=jnp.float32)
             if per_tile_weights:
-                n_tiles = B1 // tile_sub
+                n_tiles = B1 // ts
                 shapes = {
                     "W1": (n_tiles, H, d), "W2": (n_tiles, n, H),
                 }
@@ -1178,13 +1193,13 @@ def build_pallas_rollout(
                 gmul=None, Mmul=None, terrOff=None, M=None, cpoint=None,
                 lamH=None):
         B1 = state.p.shape[-2]
-        assert B1 % tile_sub == 0
-        grid = (B1 // tile_sub,)
+        ts = _effective_tile(tile_sub, B1)
+        grid = (B1 // ts,)
 
         def spec(lead):
             nlead = len(lead)
             return pl.BlockSpec(
-                lead + (tile_sub, TILE_LANE),
+                lead + (ts, TILE_LANE),
                 (lambda i, _n=nlead: (0,) * _n + (i, 0)),
                 memory_space=pltpu.VMEM,
             )

@@ -2,8 +2,10 @@
 exercised somewhere in the test tiers so API drift cannot rot them silently.
 
 - default tier: import every example module (catches import/syntax drift).
-- slow tier: run the XLA-path examples end-to-end with
+- slow tier: run the small-model XLA-path examples end-to-end with
   ``JAXSIM_EXAMPLE_SMOKE=1`` (each example shrinks its own workload).
+- stress tier: the humanoid-scale XLA examples (multi-minute full-opt
+  compiles on the 1-core CI box — HEAVY_XLA_EXAMPLES).
 - tpu tier: the Pallas-kernel examples (their kernels cannot run on the CPU
   backend without interpret mode, which is pathological at these scales).
 """
@@ -39,8 +41,11 @@ HEAVY_XLA_EXAMPLES = {
 
 
 def test_example_inventory():
-    """Every example is classified (a new example must join a tier)."""
+    """Every example is classified (a new example must join a tier), and
+    the heavy-XLA stress set only names real XLA examples — a typo or a
+    renamed example must fail here, not silently fall out of its tier."""
     assert PALLAS_EXAMPLES <= set(ALL_EXAMPLES)
+    assert HEAVY_XLA_EXAMPLES <= set(XLA_EXAMPLES)
     assert len(ALL_EXAMPLES) >= 11
 
 

@@ -515,22 +515,32 @@ def test_pendulum_rk4_trajectory_vs_mujoco(n_links):
     data = js.JaxSimModelData.build(model, joint_positions=jnp.array(q0))
     step = __import__("jax").jit(lambda d: js.model.step(model, d))
 
+    max_dq = max_dqd = 0.0
     for i in range(1000):
         mujoco.mj_step(mj_model, mj_data)
         data = step(data)
         if (i + 1) % 250 == 0:
-            assert_allclose(
-                np.asarray(data.joint_positions),
-                mj_data.qpos,
-                atol=1e-4,
-                err_msg=f"step {i + 1}",
+            max_dq = max(
+                max_dq,
+                float(
+                    np.abs(np.asarray(data.joint_positions) - mj_data.qpos).max()
+                ),
             )
-            assert_allclose(
-                np.asarray(data.joint_velocities),
-                mj_data.qvel,
-                atol=1e-3,
-                err_msg=f"step {i + 1}",
+            max_dqd = max(
+                max_dqd,
+                float(
+                    np.abs(
+                        np.asarray(data.joint_velocities) - mj_data.qvel
+                    ).max()
+                ),
             )
+    # Achieved-error ledger (tests/fidelity.py): ceilings are ~3x the
+    # measured errors, far inside the r03 tolerances (1e-4 / 1e-3), so a
+    # fidelity regression inside the old band now fails visibly.
+    from tests.fidelity import record
+
+    record(f"pendulum_rk4_qpos_{n_links}link", max_dq)
+    record(f"pendulum_rk4_qvel_{n_links}link", max_dqd)
 
 
 @pytest.mark.slow
@@ -577,6 +587,9 @@ def test_quadruped_settle_trajectory_vs_mujoco():
         data = step(data)
 
     z_ours, z_mj = float(data.base_position[2]), float(mj_data.qpos[2])
+    from tests.fidelity import record
+
+    record("quadruped_settle_dz", abs(z_ours - z_mj))
     assert abs(z_ours - z_mj) < 0.03, (z_ours, z_mj)
     # Both end upright (|w| ~ 1) with legs only slightly buckled and at rest.
     assert abs(abs(float(data.base_quaternion[0])) - 1.0) < 1e-2

@@ -79,6 +79,9 @@ def test_zero_gravity_momentum_conservation():
     # tiny ~1.3 kg model's momenta are O(1); atol=2e-3 covers f32
     # accumulation drift over the 200-step rollout on the near-zero
     # components (the dominant error source at this scale).
+    from tests.fidelity import record
+
+    record("momentum_conservation_drift", float(jnp.abs(h1 - h0).max()))
     assert_allclose(h1, h0, rtol=2e-3, atol=2e-3)
 
 

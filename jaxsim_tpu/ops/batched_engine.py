@@ -621,7 +621,7 @@ class BatchedEngine:
             # A block-Jacobi preconditioner built from the true nominal
             # per-point Delassus blocks halves that budget (docs/ops.md).
             eng = dataclasses.replace(
-                eng, _rr_Kc=_freeze(eng._nominal_delassus_blocks())
+                eng, _rr_Kc=_freeze(_nominal_delassus_blocks(model))
             )
         return eng
 
@@ -1059,65 +1059,20 @@ class BatchedEngine:
             return 0
         if self.terrain_kind != "plane":
             # Rough terrain mixes per-point contact normals, widening the
-            # Delassus spectrum: warm-started 8–16 iterations blow up
-            # within ~20 steps of humanoid touchdown (B=8192 Fourier
-            # probe, docs/ops.md); 24 is the measured stability floor and
-            # 32 (the round-3 cap, proven at scale) ships for margin.
-            return min(3 * self.n_points, 32)
+            # Delassus spectrum. With the round-5 conditioning work (the
+            # MuJoCo-style impedance floor in the regularizer + the rrKc
+            # block-Jacobi preconditioner) even 4 warm-started iterations
+            # stay finite through the B=8192 Fourier-humanoid touchdown
+            # that used to NaN at ≤16; 16 ships as the accuracy knee
+            # (max|Δp| 5.2e-4 m vs the 64-iteration reference over 400
+            # contact-rich steps, 13.5M env·steps/s — docs/ops.md table).
+            return min(3 * self.n_points, 16)
         # Plane terrain, warm-started budget: the previous step's solution
         # is one O(dt) geometry move away, so a handful of PCG iterations
         # re-converges it (plus the one A-apply the warm-start residual
         # costs). The humanoid study (docs/ops.md) shows warm-started 8
         # iterations match the 148-iteration exact solve to ~1e-7 m.
         return min(self.n_points // 4 + 6, 8)
-
-    def _nominal_delassus_blocks(self):
-        """(nC, 3, 3) world-frame per-point Delassus blocks
-        ``G_cc = (J M⁻¹ Jᵀ)_cc`` at the nominal configuration (zero joint
-        angles, identity base orientation), computed with the engine's own
-        matrix-free operator: one articulated factorization
-        (:meth:`aba` ``return_aux``) plus three :meth:`_minv_apply` probes
-        per point along the world axes. Static build-time payload of the
-        block-Jacobi PCG preconditioner for rough-terrain relaxed-rigid
-        contacts — the true articulated compliance at each point, unlike
-        the scalar ``1/m`` of ``rrMinv`` (reference impedance regularizer
-        design ``rbda/contacts/relaxed_rigid.py:525-653``)."""
-        nL, nC = self.n_links, self.n_points
-
-        @jax.jit
-        def probe():
-            st = self.init_state(1)
-            pr = self.params()
-            W_R, W_p, W_v = self.fk(st, pr)
-            bshape = st.p.shape[1:]
-            tau = jnp.zeros((self.n_joints,) + bshape)
-            _, _, fact = self.aba(
-                st, W_R, W_p, W_v, [None] * nL, tau, pr, return_aux=True
-            )
-            blocks = []
-            for c in range(nC):
-                parent = self.contact_parent[c]
-                Lpb = _bvec(pr["cpoint"][c], 3, bshape)
-                Rp = W_R[parent]
-                cols = []
-                for j in range(3):
-                    e = jnp.zeros((3,) + bshape).at[j].set(1.0)
-                    Rte = _rtv(Rp, e)
-                    f_loc = [None] * nL
-                    f_loc[parent] = jnp.concatenate([Rte, _cross(Lpb, Rte)])
-                    a_c, _ = self._minv_apply(fact, f_loc, bshape, pr)
-                    ac = a_c[parent]
-                    cols.append(_rv(Rp, ac[0:3] + _cross(ac[3:6], Lpb)))
-                K = jnp.stack(
-                    [
-                        jnp.stack([cols[j][i] for j in range(3)])
-                        for i in range(3)
-                    ]
-                )
-                blocks.append(0.5 * (K + jnp.swapaxes(K, 0, 1)))
-            return jnp.stack(blocks)[..., 0]
-
-        return np.asarray(jax.device_get(probe()))
 
     def _minv_apply(self, fact, f_loc, bshape, pr):
         """Zero-velocity articulated substitution passes: link-frame spatial
@@ -2630,6 +2585,45 @@ def _freeze(a) -> tuple:
     if a.ndim == 0:
         return float(a)
     return tuple(_freeze(x) for x in a)
+
+
+def _nominal_delassus_blocks(model) -> np.ndarray:
+    """(nC, 3, 3) per-point Delassus blocks ``G_cc = (J M⁻¹ Jᵀ)_cc`` at
+    the nominal configuration (zero joint angles, identity base
+    orientation), in the mixed (world-aligned) point frame — the true
+    articulated compliance at each collidable point, unlike the scalar
+    ``1/m`` of ``rrMinv``. Static build-time payload of the block-Jacobi
+    PCG preconditioner for rough-terrain relaxed-rigid engines (reference
+    impedance design ``rbda/contacts/relaxed_rigid.py:525-653``).
+
+    Computed densely through the public API (CRBA mass-matrix inverse +
+    mixed collidable-point jacobians — the same quantities the generic
+    relaxed-rigid path assembles), pinned to the host CPU backend: it is
+    a tiny B=1 graph whose result is a frozen constant, and on
+    tunneled-TPU machines a remote compile would dominate engine build
+    time."""
+    import jaxsim_tpu.api as js_api
+    from jaxsim_tpu.api.common import VelRepr
+
+    def blocks():
+        data = js_api.data.JaxSimModelData.build(
+            model, velocity_representation=VelRepr.Mixed
+        )
+        Minv = js_api.model.free_floating_mass_matrix_inverse(model, data)
+        J = js_api.contact.jacobian(
+            model, data, output_vel_repr=VelRepr.Mixed
+        )[:, 0:3, :]
+        K = jnp.einsum("cik,kl,cjl->cij", J, Minv, J)
+        return 0.5 * (K + jnp.swapaxes(K, 1, 2))
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:  # noqa: BLE001 — fall back to the default device
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return np.asarray(jax.device_get(jax.jit(blocks)()))
+    return np.asarray(jax.device_get(jax.jit(blocks)()))
 
 
 def _vx(v, w):

@@ -1971,11 +1971,12 @@ def test_engine_fourier_terrain_hard_contacts_equivalence(contact, prng_key):
 def test_fused_rough_relaxed_rigid_touchdown_stable():
     """Regression (round 4): the humanoid dropped onto Fourier terrain with
     relaxed-rigid contacts must stay finite through the touchdown transient
-    at scale. Warm-started PCG budgets tuned on plane terrain (8–16
-    iterations) blow the whole batch up to NaN within ~20 steps of first
-    contact — rough terrain keeps the ``min(3·nC, 32)`` budget
-    (docs/ops.md). TPU-only: the fused kernel at B=1024 × 150 steps is the
-    reproduction scale; small-scale CPU equivalence lives in
+    at scale. In round 4 warm-started budgets ≤ 16 iterations blew the
+    whole batch up to NaN within ~20 steps of first contact; round 5's
+    impedance floor + block-Jacobi preconditioner fixed the conditioning
+    and ships ``min(3·nC, 16)`` with a measured 4× margin (docs/ops.md
+    round-5 table). TPU-only: the fused kernel at B=1024 × 150 steps is
+    the reproduction scale; small-scale CPU equivalence lives in
     ``test_engine_fourier_terrain_hard_contacts_equivalence``."""
     from jaxsim_tpu.ops import pallas_step as ps
     from jaxsim_tpu.ops.contacts.relaxed_rigid import RelaxedRigidContacts

@@ -20,14 +20,15 @@ import os
 import sys
 import time
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_tpu"),
-)
-
 import jax
 import jax.numpy as jnp
 
+# The JAX_COMPILATION_CACHE_DIR env var is ignored by this jax build —
+# the cache dir must be set through jax.config (see bench.py).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_tpu"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

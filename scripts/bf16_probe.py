@@ -4,10 +4,12 @@
 The fused physics kernels are f32 elementwise VPU math. bf16 would help
 only if (a) the VPU retires bf16 elementwise FMAs faster than f32, or
 (b) VMEM footprint is the binding constraint (RK4's four live stages).
-This probe measures (a) directly with the same all-FMA Pallas kernel
-bench.py uses for the f32 VPU-peak calibration, in both dtypes, plus a
-mixed variant (bf16 storage, f32 accumulate) that models "bf16 contact
-math, f32 state". Results + the ship/reject decision land in docs/ops.md.
+This probe measures (a) with the validated all-FMA methodology from
+bench.py's VPU calibration (per-program output blocks, in-jit scalar
+reduction — plain block_until_ready returns early on this platform),
+in f32, bf16, and a mixed variant (bf16 storage, f32 math) that models
+"bf16 contact math, f32 state". Results + the ship/reject decision live
+in docs/ops.md.
 """
 
 from __future__ import annotations
@@ -16,68 +18,61 @@ import os
 import time
 
 import jax
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_tpu"),
-)
 import jax.numpy as jnp
 from jax import ShapeDtypeStruct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-R, T, G = 64, 8192, 32
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+R, G, CH, T = 32, 128, 6, 65536
 
 
-def build(dtype, cast_each_iter=False):
+def build(dtype, cast_each_iter=False, T_=T):
     def kern(x_ref, o_ref):
         x = x_ref[:]
+        c = tuple((x * (0.5 ** i)).astype(dtype) for i in range(CH))
 
-        def body(_, c):
-            a, b, cc, d = c
+        def body(_, cc):
             if cast_each_iter:
-                # bf16 storage, f32 math: the round-trip cast per FMA is
-                # the cost a mixed-precision contact stage would pay.
-                a = (a.astype(jnp.float32) * 0.9999991 + 1.1e-7).astype(dtype)
-                b = (b.astype(jnp.float32) * 0.9999992 + 1.2e-7).astype(dtype)
-                cc = (cc.astype(jnp.float32) * 0.9999993 + 1.3e-7).astype(dtype)
-                d = (d.astype(jnp.float32) * 0.9999994 + 1.4e-7).astype(dtype)
-            else:
-                one = jnp.asarray(0.9999991, dtype)
-                eps = jnp.asarray(1.1e-7, dtype)
-                a = a * one + eps
-                b = b * one + eps
-                cc = cc * one + eps
-                d = d * one + eps
-            return (a, b, cc, d)
+                return tuple(
+                    (a.astype(jnp.float32) * 0.9999991 + 1.1e-7).astype(dtype)
+                    for a in cc
+                )
+            one = jnp.asarray(0.9999991, dtype)
+            eps = jnp.asarray(1.1e-7, dtype)
+            return tuple(a * one + eps for a in cc)
 
-        a, b, cc, d = jax.lax.fori_loop(
-            0, T, body,
-            (x, (x * 0.5).astype(dtype), (x * 0.25).astype(dtype),
-             (x * 0.125).astype(dtype)),
-        )
-        o_ref[:] = (a + b + cc + d).astype(dtype)
+        c = jax.lax.fori_loop(0, T_, body, c)
+        acc = c[0]
+        for a in c[1:]:
+            acc = acc + a
+        o_ref[0] = acc
 
-    return pl.pallas_call(
+    f = pl.pallas_call(
         kern,
         grid=(G,),
-        in_specs=[pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=ShapeDtypeStruct((R, 128), dtype),
+        in_specs=[
+            pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0)),
+        out_shape=ShapeDtypeStruct((G, R, 128), dtype),
     )
+    return jax.jit(lambda x_: jnp.sum(f(x_).astype(jnp.float32)))
 
 
-def measure(f, x):
-    y = f(x)
-    jax.block_until_ready(y)
+def time_med(f, x, reps=5):
+    float(f(x))
     ts = []
-    for _ in range(7):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        y = f(x)
-        jax.block_until_ready(y)
+        float(f(x))
         ts.append(time.perf_counter() - t0)
-    flops = 2.0 * R * 128 * T * 4 * G
-    return flops / sorted(ts)[3] / 1e12
+    return sorted(ts)[reps // 2]
 
 
 def main() -> None:
@@ -87,8 +82,11 @@ def main() -> None:
         ("bf16-store/f32-math", jnp.bfloat16, True),
     ):
         x = jnp.full((R, 128), 0.5, dtype)
-        rate = measure(build(dtype, cast), x)
-        print(f"{name:>22}: {rate:6.2f} TFLOP/s")
+        t_full = time_med(build(dtype, cast), x)
+        t_base = time_med(build(dtype, cast, T_=16), x)
+        fl = 2.0 * R * 128 * (T - 16) * CH * G
+        rate = fl / max(t_full - t_base, 1e-9) / 1e12
+        print(f"{name:>22}: {rate:6.2f} TFLOP/s (t={t_full*1e3:.1f}ms)")
 
 
 if __name__ == "__main__":

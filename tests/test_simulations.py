@@ -135,6 +135,40 @@ def test_humanoid_long_rollout_stable():
     assert float(jnp.abs(data_tf.joint_velocities).max()) < 5.0
 
 
+@pytest.mark.slow
+def test_quadruped_rough_relaxed_rigid_settles():
+    """Regression (round 5): a PD-held quadruped dropped onto Fourier
+    terrain with RELAXED-RIGID contacts settles through the generic
+    ``js.model.step`` path. Before the MuJoCo-style impedance floor in
+    the diagonal regularizer, near-null Delassus directions (co-planar
+    leg collision points) were regularized only by the 1e-6 Tikhonov:
+    the solve traded O(1e6) N equal-and-opposite point forces whose
+    fluctuation launched the robot to NaN within ~30 steps of this exact
+    scenario (docs/ops.md "Relaxed-rigid conditioning")."""
+    from jaxsim_tpu.ops.contacts.relaxed_rigid import RelaxedRigidContacts
+    from jaxsim_tpu.terrain import FourierTerrain
+
+    terr = FourierTerrain.build(
+        seed=3, num_components=4, amplitude=0.02, wavelength=0.9
+    )
+    model = js.JaxSimModel.build_from_model_description(
+        models.build_quadruped_urdf(),
+        terrain=terr,
+        contact_model=RelaxedRigidContacts(),
+    )
+    data = js.JaxSimModelData.build(model, base_position=jnp.array([0.0, 0.0, 0.42]))
+    data_tf = rollout(
+        model,
+        data,
+        600,
+        tau_fn=lambda d: -25.0 * d.joint_positions - 0.5 * d.joint_velocities,
+    )
+    assert np.all(np.isfinite(np.asarray(data_tf.base_position)))
+    z = float(data_tf.base_position[2])
+    assert 0.3 < z < 0.5, z
+    assert float(jnp.abs(data_tf.joint_velocities).max()) < 5.0
+
+
 def test_joint_limits_enforced():
     """Position-limit springs keep a pendulum inside its limits
     (reference ``test_simulations.py:347``)."""

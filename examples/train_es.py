@@ -42,8 +42,11 @@ def main():
     eng = BatchedEngine.build(model)
     n, d = eng.n_joints, ps.obs_dim(eng.n_joints)
 
-    # population = one candidate per (8, 128) env tile
-    POP, ENVS_PER, STEPS = (4, 128, 10) if smoke else (8, 1024, 1000)
+    # population = one candidate per (8, 128) env tile. Smoke keeps the
+    # full 1024-env tile per candidate: Mosaic cannot lower sub-8 sublane
+    # tiles over a taller batch, so shrinking ENVS_PER below one tile
+    # would change the kernel shape class, not just the workload.
+    POP, ENVS_PER, STEPS = (4, 1024, 10) if smoke else (8, 1024, 1000)
     state = ps.tile_state(eng.init_state(POP * ENVS_PER, key=jax.random.PRNGKey(0)))
     run = jax.jit(
         ps.build_pallas_env_rollout(

@@ -37,7 +37,9 @@ def main():
     eng = BatchedEngine.build(model)
     n, d, H = eng.n_joints, ps.obs_dim(eng.n_joints), 16
 
-    POP, ENVS_PER, STEPS = (4, 128, 10) if smoke else (8, 1024, 500)
+    # Smoke keeps the full 1024-env tile per candidate (sub-8 sublane
+    # tiles over a taller batch cannot lower to Mosaic).
+    POP, ENVS_PER, STEPS = (4, 1024, 10) if smoke else (8, 1024, 500)
     state = ps.tile_state(eng.init_state(POP * ENVS_PER, key=jax.random.PRNGKey(0)))
     run = jax.jit(
         ps.build_pallas_env_rollout(

@@ -268,9 +268,11 @@ class BatchedEnv:
         """
         from jaxsim_tpu.ops import pallas_step as ps
 
-        if batch_size % ps.TILE_ENVS != 0:
+        if batch_size % ps.TILE_LANE != 0:
+            # One 128-env lane row is the hard floor; the kernel builders
+            # clamp the sublane tile height to smaller batches (smoke runs).
             raise ValueError(
-                f"batch_size must be a multiple of {ps.TILE_ENVS}; got {batch_size}"
+                f"batch_size must be a multiple of {ps.TILE_LANE}; got {batch_size}"
             )
         if sum(x is not None for x in (policy, W, mlp_weights)) > 1:
             raise ValueError(

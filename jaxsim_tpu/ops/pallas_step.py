@@ -44,9 +44,19 @@ def _effective_tile(tile_sub: int, B1: int) -> int:
 
     Small batches (example smoke runs, B=128..512 -> B1 < TILE_SUB) run as
     one short tile instead of tripping the divisibility assert; full-scale
-    batches keep the caller's tile."""
+    batches keep the caller's tile. Mosaic requires the second-minor block
+    dim to be divisible by 8 OR equal to the array dim, so a sub-8 tile is
+    only legal when it covers the whole batch axis (verified on silicon:
+    (1, 128) blocks over a (4, 128) batch fail to lower)."""
     ts = min(int(tile_sub), int(B1))
     assert B1 % ts == 0, f"batch rows {B1} not a multiple of tile {ts}"
+    if ts % 8 != 0 and ts != B1:
+        raise ValueError(
+            f"sublane tile {ts} over {B1} batch rows cannot lower to"
+            f" Mosaic (block second-minor must be divisible by 8 or cover"
+            f" the axis); use tile_sub divisible by 8, or one tile per"
+            f" batch (tile_sub >= B1)"
+        )
     return ts
 
 def engine_param_order(engine: BatchedEngine) -> tuple[str, ...]:

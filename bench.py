@@ -249,6 +249,16 @@ def main() -> None:
                 extra_latency[f"fused_vs_engine_med_dv_{name}"] = round(
                     gate_dv, 6
                 )
+                # The median alone would miss a bug corrupting a minority
+                # of envs (e.g. one grid tile): also cap the MAX at 50x
+                # the tolerance — far above chaotic-tail noise (measured
+                # max dv ~0.42 vs 2.5 cap), far below an O(1)-wrong tile.
+                if dp > 50 * eq_dp_tol or dv > 50 * eq_dv_tol:
+                    bench_failures.append(
+                        f"equiv_{name}: MAX fused-vs-engine divergence "
+                        f"dp={dp:.2e} dv={dv:.2e} exceeds the 50x chaotic "
+                        f"cap ({50 * eq_dp_tol:.0e}/{50 * eq_dv_tol:.0e})"
+                    )
             else:
                 gate_dp, gate_dv = dp, dv
             if not (gate_dp <= eq_dp_tol and gate_dv <= eq_dv_tol):
@@ -690,7 +700,7 @@ def main() -> None:
                 from jax.experimental import pallas as pl
                 from jax.experimental.pallas import tpu as pltpu
 
-                # Synthetic all-FMA ceiling: 6 independent chains on a
+                # Synthetic all-FMA ceiling: CH=6 independent chains on a
                 # (32, 128) tile (best of a 12-config sweep — taller tiles
                 # or more chains spill vregs, fewer starve ILP), T FMA
                 # iterations, per-program output blocks (a shared output
@@ -835,54 +845,65 @@ def main() -> None:
         # TPU-native answer for single-env MPC (a receding-horizon
         # controller rolls a horizon per control tick anyway). Reports
         # per-step amortized latency; compare step_p50_us_B1_engine_scan*.
-        st_b1f = _ps.tile_state(eng_small.init_state(128))
-        run_b1f = jax.jit(
-            _ps.build_pallas_rollout(eng_small, 100, tile_sub=1)
-        )
-        o1f = run_b1f(st_b1f)
-        jax.block_until_ready(o1f.p)
-        ts = []
-        for _ in range(10):
-            t0 = time.perf_counter()
-            o1f = run_b1f(o1f)
+        def bench_b1_fused():
+            st_b1f = _ps.tile_state(eng_small.init_state(128))
+            run_b1f = jax.jit(
+                _ps.build_pallas_rollout(eng_small, 100, tile_sub=1)
+            )
+            o1f = run_b1f(st_b1f)
             jax.block_until_ready(o1f.p)
-            ts.append(time.perf_counter() - t0)
-        extra_latency["step_p50_us_B1_fused_scan100"] = round(
-            sorted(ts)[5] / 100 * 1e6, 1
-        )
+            ts = []
+            for _ in range(10):
+                t0 = time.perf_counter()
+                o1f = run_b1f(o1f)
+                jax.block_until_ready(o1f.p)
+                ts.append(time.perf_counter() - t0)
+            extra_latency["step_p50_us_B1_fused_scan100"] = round(
+                sorted(ts)[5] / 100 * 1e6, 1
+            )
+
+        run_extra("b1_fused", bench_b1_fused)
 
         # B=1024: BASELINE metric measured on the fused whole-horizon
         # kernel (the fastest advertised path — VERDICT r04 #5a); the
         # launch-per-step Pallas number stays as a secondary key.
-        st1k_flat = eng_small.init_state(1024, key=jax.random.PRNGKey(2))
-        st1k = _ps.tile_state(st1k_flat)
-        run1k_f = jax.jit(
-            _ps.build_pallas_rollout(eng_small, n_steps, tile_sub=8)
-        )
-        o = run1k_f(st1k)
-        jax.block_until_ready(o.p)
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            o = run1k_f(o)
-            jax.block_until_ready(o.p)
-            ts.append(time.perf_counter() - t0)
-        extra_latency["env_steps_per_sec_B1024_fused"] = round(
-            1024 * n_steps / sorted(ts)[2], 1
+        st1k = _ps.tile_state(
+            eng_small.init_state(1024, key=jax.random.PRNGKey(2))
         )
 
-        run1k = jax.jit(lambda s: _ps.pallas_rollout(eng_small, s, 100))
-        o = run1k(st1k)
-        jax.block_until_ready(o.p)
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            o = run1k(o)
+        def bench_b1024_fused():
+            run1k_f = jax.jit(
+                _ps.build_pallas_rollout(eng_small, n_steps, tile_sub=8)
+            )
+            o = run1k_f(st1k)
             jax.block_until_ready(o.p)
-            ts.append(time.perf_counter() - t0)
-        extra_latency["env_steps_per_sec_B1024_pallas"] = round(
-            1024 * 100 / sorted(ts)[2], 1
-        )
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                o = run1k_f(o)
+                jax.block_until_ready(o.p)
+                ts.append(time.perf_counter() - t0)
+            extra_latency["env_steps_per_sec_B1024_fused"] = round(
+                1024 * n_steps / sorted(ts)[2], 1
+            )
+
+        run_extra("b1024_fused", bench_b1024_fused)
+
+        def bench_b1024_pallas():
+            run1k = jax.jit(lambda s: _ps.pallas_rollout(eng_small, s, 100))
+            o = run1k(st1k)
+            jax.block_until_ready(o.p)
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                o = run1k(o)
+                jax.block_until_ready(o.p)
+                ts.append(time.perf_counter() - t0)
+            extra_latency["env_steps_per_sec_B1024_pallas"] = round(
+                1024 * 100 / sorted(ts)[2], 1
+            )
+
+        run_extra("b1024_pallas", bench_b1024_pallas)
 
     flagship_finite = bool(jnp.all(jnp.isfinite(out_leaf(out))).item())
     # A path that runs but produces NaNs is as much a regression as one

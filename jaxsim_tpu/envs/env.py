@@ -268,11 +268,18 @@ class BatchedEnv:
         """
         from jaxsim_tpu.ops import pallas_step as ps
 
-        if batch_size % ps.TILE_LANE != 0:
-            # One 128-env lane row is the hard floor; the kernel builders
-            # clamp the sublane tile height to smaller batches (smoke runs).
+        # One 128-env lane row is the hard floor. Above it, Mosaic needs
+        # the (clamped) sublane tile to divide the batch rows: either at
+        # most one default tile (B1 <= TILE_SUB, clamped to cover the
+        # axis) or whole multiples of it.
+        B1 = batch_size // ps.TILE_LANE
+        if batch_size % ps.TILE_LANE != 0 or not (
+            B1 <= ps.TILE_SUB or B1 % ps.TILE_SUB == 0
+        ):
             raise ValueError(
-                f"batch_size must be a multiple of {ps.TILE_LANE}; got {batch_size}"
+                f"batch_size must be a multiple of {ps.TILE_LANE} with"
+                f" {ps.TILE_LANE}*B1 rows, B1 <= {ps.TILE_SUB} or divisible"
+                f" by {ps.TILE_SUB}; got {batch_size}"
             )
         if sum(x is not None for x in (policy, W, mlp_weights)) > 1:
             raise ValueError(

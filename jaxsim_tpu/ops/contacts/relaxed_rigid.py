@@ -192,7 +192,10 @@ class RelaxedRigidContacts(common.ContactModel):
         # the fixed iteration count is deliberate implicit regularization
         # of near-null Delassus directions, matching the batched engine's
         # in-kernel solver budget for rough terrain).
-        n_iter = min(3 * (A.shape[0] // 3), 32)
+        # A is (3·nC, 3·nC): up to 10 contact points CG gets its full
+        # exact-convergence count; larger systems cap at 32 (the bounded
+        # budget IS the near-null-direction regularization).
+        n_iter = min(A.shape[0], 32)
         diag_A = jnp.diag(A)
         prec = jnp.where(diag_A > 0.0, diag_A, 1.0)
 

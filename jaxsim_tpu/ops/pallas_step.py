@@ -49,7 +49,8 @@ def _effective_tile(tile_sub: int, B1: int) -> int:
     only legal when it covers the whole batch axis (verified on silicon:
     (1, 128) blocks over a (4, 128) batch fail to lower)."""
     ts = min(int(tile_sub), int(B1))
-    assert B1 % ts == 0, f"batch rows {B1} not a multiple of tile {ts}"
+    if B1 % ts != 0:
+        raise ValueError(f"batch rows {B1} not a multiple of tile {ts}")
     if ts % 8 != 0 and ts != B1:
         raise ValueError(
             f"sublane tile {ts} over {B1} batch rows cannot lower to"
